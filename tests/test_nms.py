@@ -1,0 +1,82 @@
+import numpy as np
+import pytest
+
+from facedet_tpu.core.detections import Detections
+from facedet_tpu.ops.nms import merge_detections, nms
+
+
+def make(boxes, scores, classes=None, cap=None):
+    return Detections.from_arrays(boxes, scores, classes=classes, capacity=cap or len(scores) + 2)
+
+
+def test_nms_suppresses_overlaps():
+    d = make(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]],
+        [0.9, 0.8, 0.7],
+    )
+    out = nms(d, iou_threshold=0.5).to_numpy()
+    np.testing.assert_allclose(out["scores"], [0.9, 0.7])
+
+
+def test_nms_keeps_disjoint():
+    d = make([[0, 0, 10, 10], [20, 20, 30, 30]], [0.5, 0.6])
+    out = nms(d, 0.5).to_numpy()
+    assert len(out["scores"]) == 2
+
+
+def test_greedynmm_merges_union():
+    # small box fully inside big one: IOS = 1 -> merged
+    d = make([[0, 0, 100, 100], [10, 10, 20, 20], [200, 200, 210, 210]], [0.9, 0.8, 0.3])
+    out = merge_detections(d, mode="GREEDYNMM", match_metric="IOS", match_threshold=0.5)
+    o = out.to_numpy()
+    assert len(o["scores"]) == 2
+    np.testing.assert_allclose(o["boxes"][0], [0, 0, 100, 100])
+    # union extends the keeper when the matched box pokes out
+    d2 = make([[0, 0, 10, 10], [3, 3, 14, 18]], [0.9, 0.8])  # IOS = 0.49
+    o2 = merge_detections(d2, "NMM", "IOS", 0.3).to_numpy()
+    assert len(o2["scores"]) == 1
+    np.testing.assert_allclose(o2["boxes"][0], [0, 0, 14, 18])
+    np.testing.assert_allclose(o2["scores"][0], 0.9)
+
+
+def test_chain_does_not_bridge():
+    # b matches a (keeper); c matches b but not a -> c must survive as its own
+    # keeper because matching is greedy against original coords.
+    a = [0, 0, 10, 10]
+    b = [6, 0, 16, 10]
+    c = [13, 0, 23, 10]
+    d = make([a, b, c], [0.9, 0.8, 0.7])
+    out = merge_detections(d, "GREEDYNMM", "IOU", 0.2).to_numpy()
+    assert len(out["scores"]) == 2
+    np.testing.assert_allclose(out["scores"], [0.9, 0.7])
+
+
+def test_class_aware_matching():
+    d = make([[0, 0, 10, 10], [0, 0, 10, 10]], [0.9, 0.8], classes=[0, 1])
+    agn = merge_detections(d, "NMS", "IOU", 0.5, class_agnostic=True).to_numpy()
+    cls = merge_detections(d, "NMS", "IOU", 0.5, class_agnostic=False).to_numpy()
+    assert len(agn["scores"]) == 1 and len(cls["scores"]) == 2
+
+
+def test_keypoints_ride_through():
+    d = Detections.from_arrays(
+        [[0, 0, 10, 10], [1, 1, 11, 11]],
+        [0.9, 0.8],
+        kpts=np.stack([np.full((5, 3), 7.0), np.full((5, 3), 3.0)]),
+        capacity=4,
+    )
+    out = merge_detections(d, "GREEDYNMM", "IOS", 0.5).to_numpy()
+    assert len(out["scores"]) == 1
+    np.testing.assert_allclose(out["kpts"][0], 7.0)  # keeper's keypoints kept
+
+
+def test_invalid_rows_ignored():
+    d = make([[0, 0, 10, 10]], [0.9], cap=8)
+    out = merge_detections(d, "NMS", "IOU", 0.5)
+    assert int(out.count()) == 1
+
+
+def test_bad_mode_raises():
+    d = make([[0, 0, 1, 1]], [0.5])
+    with pytest.raises(ValueError):
+        merge_detections(d, mode="SOFTNMS")
