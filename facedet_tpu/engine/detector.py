@@ -1,0 +1,248 @@
+"""Detector model abstraction — the TPU-native ``DetectionModel`` family.
+
+Mirrors the reference ABC (docs sahi/base.py:12-197: ctor contract,
+``load_model``, ``perform_inference``, ``convert_original_predictions``,
+``object_prediction_list``), but the compute contract is tensor-first: every
+model exposes ``forward_tiles(tiles) -> Detections`` — a jitted, batched,
+static-shape function over a whole SAHI tile batch — and the Python-object API
+exists only as a compatibility edge.
+
+Weights: ``model_path`` may be a ``.npz`` of flat ``params/...`` arrays (the
+output of models/convert.py's ultralytics converter), an orbax checkpoint dir,
+or ``None`` for random initialisation (benchmarks / tests).
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facedet_tpu.core.detections import Detections
+from facedet_tpu.core.letterbox import (
+    apply_letterbox,
+    compute_letterbox,
+    unletterbox_boxes,
+    unletterbox_kpts,
+)
+from facedet_tpu.engine.prediction import detections_to_object_predictions
+
+DEFAULT_CATEGORY_MAPPING = {"0": "face"}
+
+
+def load_params_npz(path: str) -> dict:
+    """Flat 'a/b/c' -> nested variables dict."""
+    flat = np.load(path)
+    tree: dict = {}
+    for key in flat.files:
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(flat[key])
+    return tree
+
+
+def save_params_npz(path: str, variables: dict) -> None:
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}/{k}" if prefix else k)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk(variables, "")
+    np.savez(path, **flat)
+
+
+class DetectionModel:
+    """Base detector (reference docs sahi/base.py:12).
+
+    Subclasses implement ``load_model`` and ``forward_tiles``.
+    """
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        device: Optional[str] = None,
+        confidence_threshold: float = 0.3,
+        category_mapping: Optional[dict] = None,
+        image_size: Optional[int] = None,
+        load_at_init: bool = True,
+        max_detections_per_tile: int = 300,
+        **kwargs: Any,
+    ):
+        self.model_path = model_path
+        self.device = device
+        self.confidence_threshold = confidence_threshold
+        self.category_mapping = category_mapping or dict(DEFAULT_CATEGORY_MAPPING)
+        self.image_size = image_size
+        self.max_detections_per_tile = max_detections_per_tile
+        self.model: Any = None
+        self.variables: Any = None
+        self._original_predictions: Optional[Detections] = None
+        self._object_prediction_list: list = []
+        self.durations_in_seconds: dict[str, float] = {}
+        if load_at_init:
+            self.load_model()
+
+    # --- contract -----------------------------------------------------
+    @property
+    def num_keypoints(self) -> int:
+        return 5
+
+    def load_model(self) -> None:
+        raise NotImplementedError
+
+    def unload_model(self) -> None:
+        """Drop params (docs sahi/base.py:107)."""
+        self.model = None
+        self.variables = None
+        self._forward_cache().cache_clear()
+
+    def forward_tiles(self, tiles: jax.Array, conf_threshold: float | None = None) -> Detections:
+        """tiles [T,S,S,3] float32 in [0,1] -> per-tile Detections (batched).
+
+        Jitted & cached per (T, S) shape bucket."""
+        raise NotImplementedError
+
+    def _forward_cache(self):
+        raise NotImplementedError
+
+    # --- host-side compatibility edge ---------------------------------
+    def perform_inference(self, image: np.ndarray) -> None:
+        """Single image/tile inference (docs sahi/base.py contract: stores raw
+        predictions on self)."""
+        t0 = time.perf_counter()
+        img = np.asarray(image)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        size = self.image_size or max(img.shape[:2])
+        spec = compute_letterbox(img.shape[0], img.shape[1], int(size))
+        tile = apply_letterbox(jnp.asarray(img), spec)
+        det = self.forward_tiles(tile[None])
+        det = jax.tree.map(lambda x: x[0], det)
+        det = Detections(
+            boxes=unletterbox_boxes(det.boxes, spec),
+            scores=det.scores,
+            classes=det.classes,
+            kpts=unletterbox_kpts(det.kpts, spec),
+            valid=det.valid,
+        )
+        self._original_predictions = det
+        self.durations_in_seconds["prediction"] = time.perf_counter() - t0
+
+    @property
+    def original_predictions(self) -> Optional[Detections]:
+        return self._original_predictions
+
+    def convert_original_predictions(
+        self,
+        shift_amount: tuple[int, int] = (0, 0),
+        full_shape: Optional[tuple[int, int]] = None,
+    ) -> None:
+        """Raw tensor predictions -> shifted/clipped ObjectPrediction list
+        (docs sahi/base.py:162)."""
+        det = self._original_predictions
+        if det is None:
+            raise RuntimeError("perform_inference must be called first")
+        sx, sy = float(shift_amount[0]), float(shift_amount[1])
+        boxes = np.asarray(det.boxes) + np.array([sx, sy, sx, sy], np.float32)
+        kpts = np.asarray(det.kpts).copy()
+        kpts[..., 0] += sx
+        kpts[..., 1] += sy
+        if full_shape is not None:
+            h, w = full_shape
+            boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
+            boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
+        shifted = Detections(
+            boxes=jnp.asarray(boxes),
+            scores=det.scores,
+            classes=det.classes,
+            kpts=jnp.asarray(kpts),
+            valid=det.valid & (det.scores >= self.confidence_threshold),
+        )
+        self._object_prediction_list = detections_to_object_predictions(
+            shifted, self.category_mapping, full_shape
+        )
+
+    @property
+    def object_prediction_list(self) -> list:
+        return self._object_prediction_list
+
+    @property
+    def object_prediction_list_per_image(self) -> list[list]:
+        return [self._object_prediction_list]
+
+
+class YoloV11PoseDetectionModel(DetectionModel):
+    """YOLOv11-pose detector (reference utils/yolo_wrapper.py:7-229), with
+    keypoints carried natively through merge instead of the reference's
+    string-key cache + IoU re-attach (:156-200)."""
+
+    def __init__(self, *args, scale: str = "s", dtype: str = "bfloat16", **kwargs):
+        self.scale = scale
+        self.dtype = dtype
+        super().__init__(*args, **kwargs)
+
+    def load_model(self) -> None:
+        from facedet_tpu.models.yolov11 import YoloConfig, YoloV11
+
+        self.cfg = YoloConfig(
+            scale=self.scale,
+            num_classes=len(self.category_mapping),
+            with_pose=True,
+            dtype=self.dtype,
+        )
+        self.model = YoloV11(self.cfg)
+        if self.model_path is None:
+            init_size = int(self.image_size or 640)
+            self.variables = self.model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, init_size, init_size, 3), jnp.float32),
+                train=False,
+            )
+        elif str(self.model_path).endswith(".npz"):
+            self.variables = load_params_npz(self.model_path)
+        elif str(self.model_path).endswith(".pt"):
+            from facedet_tpu.models.convert import convert_ultralytics_checkpoint
+
+            self.variables, detected_scale = convert_ultralytics_checkpoint(
+                self.model_path, self.cfg
+            )
+        else:
+            raise ValueError(f"unsupported checkpoint format: {self.model_path}")
+
+    @functools.lru_cache(maxsize=None)
+    def _jitted_forward(self, conf_threshold: float):
+        from facedet_tpu.models.yolo_decode import (
+            decode_predictions,
+            decode_to_detections,
+        )
+
+        @jax.jit
+        def fwd(variables, tiles):
+            outs = self.model.apply(variables, tiles, train=False)
+            preds = decode_predictions(outs)
+            return decode_to_detections(
+                preds,
+                conf_threshold=conf_threshold,
+                max_detections=self.max_detections_per_tile,
+                nms_iou=0.7,
+                class_agnostic=True,
+            )
+
+        return fwd
+
+    def _forward_cache(self):
+        return self._jitted_forward
+
+    def forward_tiles(self, tiles: jax.Array, conf_threshold: float | None = None) -> Detections:
+        conf = self.confidence_threshold if conf_threshold is None else conf_threshold
+        return self._jitted_forward(float(conf))(self.variables, tiles)

@@ -1,0 +1,219 @@
+"""Sliced and standard prediction drivers — the public inference API.
+
+Reference: docs sahi/predict.py (get_prediction :63, get_sliced_prediction
+:142, predict :385). The reference loops slices one at a time through the
+detector ("currently only 1 batch supported", :225-288) and merges per-box
+Python objects on CPU. Here the whole pipeline — tile gather, detector forward
+over the full tile batch, slice→global shift, GreedyNMM/NMS merge — runs on
+device in a handful of XLA dispatches with static shapes; tile counts are
+bucketed to bound recompilation across variable-resolution image streams.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facedet_tpu.core.detections import Detections
+from facedet_tpu.core.letterbox import (
+    apply_letterbox,
+    compute_letterbox,
+    unletterbox_boxes,
+    unletterbox_kpts,
+)
+from facedet_tpu.engine.detector import DetectionModel
+from facedet_tpu.engine.prediction import (
+    PredictionResult,
+    detections_to_object_predictions,
+)
+from facedet_tpu.ops.nms import merge_detections
+from facedet_tpu.ops.tiler import (
+    adaptive_slice_size,
+    bucket_tile_count,
+    compute_slice_grid,
+    gather_tiles,
+    pad_grid_offsets,
+    pad_image,
+)
+
+__all__ = ["get_prediction", "get_sliced_prediction", "POSTPROCESS_DEFAULTS"]
+
+POSTPROCESS_DEFAULTS = {
+    "postprocess_type": "GREEDYNMM",
+    "postprocess_match_metric": "IOS",
+    "postprocess_match_threshold": 0.5,
+    "postprocess_class_agnostic": False,
+}
+
+
+@jax.jit
+def _shift_and_flatten(det: Detections, offsets: jax.Array, tile_valid: jax.Array) -> Detections:
+    """Per-tile detections [T, k] -> flat global-coordinate detections [T*k]."""
+    off_xy = jnp.flip(offsets.astype(jnp.float32), axis=-1)  # (y,x) -> (x,y)
+    box_off = jnp.tile(off_xy, (1, 2))[:, None, :]  # [T,1,4]
+    boxes = det.boxes + box_off
+    kpts = det.kpts.at[..., 0].add(off_xy[:, None, None, 0])
+    kpts = kpts.at[..., 1].add(off_xy[:, None, None, 1])
+    valid = det.valid & tile_valid[:, None]
+    t, k = valid.shape
+    return Detections(
+        boxes=boxes.reshape(t * k, 4),
+        scores=det.scores.reshape(t * k),
+        classes=det.classes.reshape(t * k),
+        kpts=kpts.reshape(t * k, det.kpts.shape[-2], 3),
+        valid=valid.reshape(t * k),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _truncate_by_score(det: Detections, capacity: int) -> Detections:
+    det = det.sort_by_score()
+    return jax.tree.map(lambda x: x[:capacity], det)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _clip_detections(det: Detections, h: jax.Array, w: jax.Array) -> Detections:
+    from facedet_tpu.core.boxes import clip_boxes
+
+    return Detections(
+        boxes=clip_boxes(det.boxes, h, w),
+        scores=det.scores,
+        classes=det.classes,
+        kpts=det.kpts,
+        valid=det.valid,
+    )
+
+
+def _prepare_image(image) -> np.ndarray:
+    img = np.asarray(image)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.shape[-1] == 4:
+        img = img[..., :3]
+    return img
+
+
+def get_prediction(
+    image,
+    detection_model: DetectionModel,
+    shift_amount: tuple[int, int] = (0, 0),
+    full_shape: Optional[tuple[int, int]] = None,
+    postprocess=None,
+    verbose: int = 0,
+) -> PredictionResult:
+    """Single-image (or single-slice) inference (docs sahi/predict.py:63)."""
+    img = _prepare_image(image)
+    t0 = time.perf_counter()
+    detection_model.perform_inference(img)
+    dt = time.perf_counter() - t0
+    detection_model.convert_original_predictions(
+        shift_amount=shift_amount,
+        full_shape=full_shape if full_shape is not None else img.shape[:2],
+    )
+    return PredictionResult(
+        image=img,
+        object_prediction_list=detection_model.object_prediction_list,
+        durations_in_seconds={"prediction": dt},
+    )
+
+
+def get_sliced_prediction(
+    image,
+    detection_model: DetectionModel,
+    slice_height: Optional[int] = None,
+    slice_width: Optional[int] = None,
+    overlap_height_ratio: float = 0.2,
+    overlap_width_ratio: float = 0.2,
+    perform_standard_pred: bool = True,
+    postprocess_type: str = "GREEDYNMM",
+    postprocess_match_metric: str = "IOS",
+    postprocess_match_threshold: float = 0.5,
+    postprocess_class_agnostic: bool = False,
+    auto_slice_resolution: bool = True,
+    merge_capacity: int = 1024,
+    use_pallas_gather: bool = False,
+    verbose: int = 0,
+) -> PredictionResult:
+    """Sliced inference with global merge (docs sahi/predict.py:142).
+
+    Signature-compatible with the reference; ``merge_capacity`` bounds the
+    static detection count entering the on-device merge.
+    """
+    img = _prepare_image(image)
+    h, w = img.shape[:2]
+    durations: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    if slice_height is None or slice_width is None:
+        if not auto_slice_resolution:
+            raise ValueError("slice size required when auto_slice_resolution=False")
+        s = adaptive_slice_size(h, w)
+        slice_height = slice_height or s
+        slice_width = slice_width or s
+    grid = compute_slice_grid(
+        h, w, slice_height, slice_width, overlap_height_ratio, overlap_width_ratio
+    )
+    t_bucket = bucket_tile_count(grid.num_tiles)
+    offsets, tile_valid = pad_grid_offsets(grid, t_bucket)
+
+    imgf = jnp.asarray(img, jnp.float32) / 255.0 if img.dtype == np.uint8 else jnp.asarray(img, jnp.float32)
+    padded = pad_image(imgf, grid.padded_h, grid.padded_w)
+    tiles = gather_tiles(
+        padded, jnp.asarray(offsets), slice_height, slice_width, use_pallas=use_pallas_gather
+    )
+    durations["slice"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    per_tile = detection_model.forward_tiles(tiles)
+    flat = _shift_and_flatten(per_tile, jnp.asarray(offsets), jnp.asarray(tile_valid))
+
+    parts = [flat]
+    if perform_standard_pred:
+        size = int(detection_model.image_size or max(slice_height, slice_width))
+        spec = compute_letterbox(h, w, size)
+        full_tile = apply_letterbox(imgf, spec)
+        full_det = detection_model.forward_tiles(full_tile[None])
+        full_det = jax.tree.map(lambda x: x[0], full_det)
+        full_det = Detections(
+            boxes=unletterbox_boxes(full_det.boxes, spec),
+            scores=full_det.scores,
+            classes=full_det.classes,
+            kpts=unletterbox_kpts(full_det.kpts, spec),
+            valid=full_det.valid,
+        )
+        parts.append(full_det)
+
+    combined = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+    combined = _truncate_by_score(combined, merge_capacity)
+    durations["prediction"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    merged = merge_detections(
+        combined,
+        mode=postprocess_type,
+        match_metric=postprocess_match_metric,
+        match_threshold=postprocess_match_threshold,
+        class_agnostic=postprocess_class_agnostic,
+    )
+    merged = _clip_detections(merged, h, w)
+    durations["postprocess"] = time.perf_counter() - t0
+
+    preds = detections_to_object_predictions(
+        merged, detection_model.category_mapping, full_shape=(h, w)
+    )
+    if verbose:
+        print(
+            f"Performing prediction on {grid.num_tiles} slices "
+            f"(bucket {t_bucket}, {slice_height}x{slice_width}): "
+            + ", ".join(f"{k}={v:.3f}s" for k, v in durations.items())
+        )
+    return PredictionResult(
+        image=img,
+        object_prediction_list=preds,
+        durations_in_seconds=durations,
+        detections=merged,
+    )

@@ -1,0 +1,140 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facedet_tpu.core.detections import Detections
+from facedet_tpu.engine.detector import DetectionModel
+from facedet_tpu.engine.predict import get_prediction, get_sliced_prediction
+
+
+class FakeBlobDetector(DetectionModel):
+    """Deterministic synthetic backend: one detection per tile at the
+    brightest pixel, score = brightness. Lets the slicing engine be tested
+    without model weights (SURVEY.md §4 rebuild implication)."""
+
+    BOX_R = 5.0
+
+    def load_model(self):
+        self.model = "fake"
+        self.variables = {}
+
+    def forward_tiles(self, tiles, conf_threshold=None):
+        conf = self.confidence_threshold if conf_threshold is None else conf_threshold
+
+        @jax.jit
+        def fwd(tiles):
+            t, s = tiles.shape[0], tiles.shape[1]
+            gray = tiles.mean(axis=-1).reshape(t, -1)
+            idx = jnp.argmax(gray, axis=1)
+            score = jnp.max(gray, axis=1)
+            y = (idx // tiles.shape[2]).astype(jnp.float32)
+            x = (idx % tiles.shape[2]).astype(jnp.float32)
+            r = self.BOX_R
+            boxes = jnp.stack([x - r, y - r, x + r, y + r], axis=-1)
+            cap = 4
+            det = Detections(
+                boxes=jnp.zeros((t, cap, 4)).at[:, 0].set(boxes),
+                scores=jnp.zeros((t, cap)).at[:, 0].set(score),
+                classes=jnp.zeros((t, cap), jnp.int32),
+                kpts=jnp.zeros((t, cap, 5, 3))
+                .at[:, 0, :, 0]
+                .set(x[:, None])
+                .at[:, 0, :, 1]
+                .set(y[:, None])
+                .at[:, 0, :, 2]
+                .set(1.0),
+                valid=jnp.zeros((t, cap), bool).at[:, 0].set(score >= conf),
+            )
+            return det
+
+        return fwd(tiles)
+
+
+def make_image(h, w, dots):
+    img = np.zeros((h, w, 3), np.uint8)
+    for y, x in dots:
+        img[y - 1 : y + 2, x - 1 : x + 2] = 255
+    return img
+
+
+def test_sliced_prediction_finds_global_dots():
+    dots = [(30, 40), (120, 180)]
+    img = make_image(150, 200, dots)
+    model = FakeBlobDetector(confidence_threshold=0.5)
+    result = get_sliced_prediction(
+        img,
+        model,
+        slice_height=64,
+        slice_width=64,
+        overlap_height_ratio=0.25,
+        overlap_width_ratio=0.25,
+        perform_standard_pred=False,
+        postprocess_type="GREEDYNMM",
+        postprocess_match_metric="IOS",
+        postprocess_match_threshold=0.5,
+    )
+    preds = result.object_prediction_list
+    assert len(preds) == 2, [p.bbox.to_xyxy() for p in preds]
+    centers = sorted(
+        ((p.bbox.miny + p.bbox.maxy) / 2, (p.bbox.minx + p.bbox.maxx) / 2)
+        for p in preds
+    )
+    for (cy, cx), (dy, dx) in zip(centers, sorted(dots)):
+        assert abs(cy - dy) <= 1.5 and abs(cx - dx) <= 1.5, (centers, dots)
+    # keypoints shifted to global coords alongside boxes
+    k = preds[0].keypoints
+    assert k is not None and k.shape == (5, 3)
+    assert any(abs(k[0, 0] - dx) <= 1.5 and abs(k[0, 1] - dy) <= 1.5 for dy, dx in dots)
+    assert set(result.durations_in_seconds) >= {"slice", "prediction", "postprocess"}
+
+
+def test_sliced_with_standard_pred_still_two():
+    dots = [(30, 40), (120, 180)]
+    img = make_image(150, 200, dots)
+    model = FakeBlobDetector(confidence_threshold=0.5)
+    result = get_sliced_prediction(
+        img,
+        model,
+        slice_height=64,
+        slice_width=64,
+        perform_standard_pred=True,
+        postprocess_match_metric="IOS",
+        postprocess_match_threshold=0.3,
+    )
+    assert len(result.object_prediction_list) == 2
+
+
+def test_get_prediction_single_pass():
+    img = make_image(100, 100, [(50, 60)])
+    model = FakeBlobDetector(confidence_threshold=0.5, image_size=100)
+    result = get_prediction(img, model)
+    assert len(result.object_prediction_list) == 1
+    p = result.object_prediction_list[0]
+    cx = (p.bbox.minx + p.bbox.maxx) / 2
+    cy = (p.bbox.miny + p.bbox.maxy) / 2
+    assert abs(cx - 60) <= 1.5 and abs(cy - 50) <= 1.5
+
+
+def test_boxes_clipped_to_image():
+    img = make_image(80, 80, [(2, 2)])
+    model = FakeBlobDetector(confidence_threshold=0.5)
+    result = get_sliced_prediction(
+        img, model, slice_height=64, slice_width=64, perform_standard_pred=False
+    )
+    for p in result.object_prediction_list:
+        x1, y1, x2, y2 = p.bbox.to_xyxy()
+        assert x1 >= 0 and y1 >= 0 and x2 <= 80 and y2 <= 80
+
+
+def test_prediction_result_exports(tmp_path):
+    img = make_image(100, 120, [(40, 50)])
+    model = FakeBlobDetector(confidence_threshold=0.5)
+    result = get_sliced_prediction(
+        img, model, slice_height=64, slice_width=64, perform_standard_pred=False
+    )
+    coco = result.to_coco_predictions(image_id=7)
+    assert coco and coco[0]["image_id"] == 7 and len(coco[0]["bbox"]) == 4
+    out = result.export_visuals(str(tmp_path))
+    import os
+
+    assert os.path.exists(out)
