@@ -1,0 +1,295 @@
+"""FaceEnhancer — Real-ESRGAN super-resolution engine.
+
+Reference parity: utils/enhancer.py (FaceEnhancer :21-302, tile=400/tile_pad=10
+defaults :22,138-147, enhance_image :189, enhance_face_crop :237,
+enhance_face_crops_batch :305, create_enhancement_summary :409,
+get_available_models :454).
+
+TPU-native redesign: the reference loops tiles serially and halves the tile on
+CUDA OOM (:216-229). Here tiling is *static*: the image is reflect-padded to a
+tile grid with halo padding, all halo windows are gathered into one
+``[G, T+2p, T+2p, 3]`` batch, the RRDB net runs over the batch in a single XLA
+dispatch, and the output is assembled by reshape. Static shapes mean OOM-retry
+is replaced by a deterministic memory plan; small face crops are padded into
+size buckets to bound recompilation.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facedet_tpu.models.rrdbnet import MODEL_CATALOG, RRDBConfig, RRDBNet
+
+__all__ = [
+    "FaceEnhancer",
+    "tiled_sr",
+    "enhance_face_crops_batch",
+    "create_enhancement_summary",
+    "get_available_models",
+]
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def tiled_sr(
+    fn: Callable[[jax.Array], jax.Array],
+    image: jax.Array,
+    scale: int,
+    tile: int = 400,
+    tile_pad: int = 10,
+) -> jax.Array:
+    """Run SR function ``fn`` ([B,h,w,3] -> [B,h*scale,w*scale,3]) over a halo-
+    padded static tile grid of ``image`` [H,W,3]; returns [H*scale, W*scale, 3].
+
+    All tiles are processed in ONE batched call (vs the reference's serial tile
+    loop, utils/enhancer.py:138-156)."""
+    h, w = image.shape[0], image.shape[1]
+    if tile <= 0 or (h <= tile and w <= tile):
+        return fn(image[None])[0]
+    gh, gw = -(-h // tile), -(-w // tile)
+    ph, pw = gh * tile, gw * tile
+    padded = jnp.pad(
+        image,
+        ((tile_pad, ph - h + tile_pad), (tile_pad, pw - w + tile_pad), (0, 0)),
+        mode="reflect",
+    )
+    win = tile + 2 * tile_pad
+    offs = jnp.asarray(
+        [(i * tile, j * tile) for i in range(gh) for j in range(gw)], jnp.int32
+    )
+    tiles = jax.vmap(
+        lambda o: jax.lax.dynamic_slice(padded, (o[0], o[1], 0), (win, win, 3))
+    )(offs)
+    out = fn(tiles)  # [G, win*s, win*s, 3]
+    p = tile_pad * scale
+    core = out[:, p : p + tile * scale, p : p + tile * scale, :]
+    core = core.reshape(gh, gw, tile * scale, tile * scale, 3)
+    full = core.transpose(0, 2, 1, 3, 4).reshape(ph * scale, pw * scale, 3)
+    return full[: h * scale, : w * scale]
+
+
+_SIZE_BUCKETS = (32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
+
+
+def _bucket_dim(x: int) -> int:
+    for b in _SIZE_BUCKETS:
+        if x <= b:
+            return b
+    return _ceil_to(x, 512)
+
+
+class FaceEnhancer:
+    """Real-ESRGAN enhancer (reference utils/enhancer.py:21).
+
+    model_name ∈ MODEL_CATALOG; ``half=True`` selects bfloat16 compute (the TPU
+    analog of the reference's fp16, :88-91). ``model_path`` loads a converted
+    ``.npz`` checkpoint; None = random init (tests/benchmarks).
+    """
+
+    def __init__(
+        self,
+        model_name: str = "RealESRGAN_x4plus",
+        model_path: Optional[str] = None,
+        outscale: float = 4.0,
+        tile: int = 400,
+        tile_pad: int = 10,
+        half: bool = True,
+        device: Optional[str] = None,
+        cfg: Optional[RRDBConfig] = None,
+    ):
+        if cfg is None:
+            if model_name not in MODEL_CATALOG:
+                raise ValueError(
+                    f"unknown model {model_name!r}; available: {list(MODEL_CATALOG)}"
+                )
+            cfg = MODEL_CATALOG[model_name]
+        if half:
+            cfg = dataclasses.replace(cfg, dtype="bfloat16")
+        self.cfg = cfg
+        self.model_name = model_name
+        self.outscale = float(outscale)
+        self.tile = tile
+        self.tile_pad = tile_pad
+        self.device = device
+        self.model = RRDBNet(cfg)
+        if model_path is None:
+            m = max(cfg.scale, 2)
+            self.variables = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 2 * m, 2 * m, cfg.num_in_ch))
+            )
+        else:
+            from facedet_tpu.engine.detector import load_params_npz
+
+            self.variables = load_params_npz(model_path)
+        self.stats = {"images": 0, "seconds": 0.0}
+
+    @functools.cached_property
+    def _forward(self):
+        @jax.jit
+        def fwd(variables, x):
+            return jnp.clip(self.model.apply(variables, x), 0.0, 1.0)
+
+        return fwd
+
+    def _net(self, x: jax.Array) -> jax.Array:
+        return self._forward(self.variables, x)
+
+    def enhance_array(self, image: jax.Array, outscale: Optional[float] = None) -> jax.Array:
+        """Device path: [H,W,3] float in [0,1] -> enhanced float array."""
+        outscale = self.outscale if outscale is None else float(outscale)
+        s = self.cfg.scale
+        h, w = image.shape[0], image.shape[1]
+        m = 2 if s == 2 else (4 if s == 1 else 1)
+        if h % m or w % m:  # pixel-unshuffle divisibility
+            image = jnp.pad(image, ((0, (-h) % m), (0, (-w) % m), (0, 0)), mode="reflect")
+        out = tiled_sr(self._net, image, s, self.tile, self.tile_pad)
+        out = out[: h * s, : w * s]
+        if abs(outscale - s) > 1e-6:
+            th, tw = int(round(h * outscale)), int(round(w * outscale))
+            out = jax.image.resize(out, (th, tw, 3), method="lanczos3")
+            out = jnp.clip(out, 0.0, 1.0)
+        return out
+
+    def enhance_image(
+        self, image: np.ndarray, outscale: Optional[float] = None
+    ) -> tuple[np.ndarray, float]:
+        """Host path (reference utils/enhancer.py:189): uint8 HWC in ->
+        (uint8 HWC out, elapsed seconds)."""
+        t0 = time.perf_counter()
+        img = np.asarray(image)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, -1)
+        if img.shape[-1] == 4:
+            img = img[..., :3]
+        x = jnp.asarray(img, jnp.float32) / 255.0
+        out = self.enhance_array(x, outscale)
+        out8 = np.asarray(jnp.round(out * 255.0)).astype(np.uint8)
+        dt = time.perf_counter() - t0
+        self.stats["images"] += 1
+        self.stats["seconds"] += dt
+        return out8, dt
+
+    def enhance_face_crop(
+        self,
+        input_path: str,
+        output_path: str,
+        outscale: Optional[float] = None,
+        jpeg_quality: int = 95,
+    ) -> bool:
+        """File -> file crop enhancement (reference utils/enhancer.py:237), with
+        size-bucket padding so varied crop sizes share compilations."""
+        from facedet_tpu.utils.viz import load_image, save_image
+
+        img = load_image(input_path)
+        h, w = img.shape[:2]
+        bh, bw = _bucket_dim(h), _bucket_dim(w)
+        x = jnp.asarray(img, jnp.float32) / 255.0
+        if (bh, bw) != (h, w):
+            x = jnp.pad(x, ((0, bh - h), (0, bw - w), (0, 0)), mode="reflect")
+        out = self.enhance_array(x, outscale)
+        sc = (self.outscale if outscale is None else outscale)
+        out = out[: int(round(h * sc)), : int(round(w * sc))]
+        save_image(output_path, np.asarray(jnp.round(out * 255.0), np.uint8), quality=jpeg_quality)
+        return True
+
+    def get_model_info(self) -> dict:
+        """Reference utils/enhancer.py:291."""
+        n_params = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(self.variables))
+        return {
+            "model_name": self.model_name,
+            "scale": self.cfg.scale,
+            "outscale": self.outscale,
+            "num_block": self.cfg.num_block,
+            "num_feat": self.cfg.num_feat,
+            "tile": self.tile,
+            "tile_pad": self.tile_pad,
+            "dtype": self.cfg.dtype,
+            "num_params": n_params,
+        }
+
+
+def get_available_models() -> dict[str, dict]:
+    """Reference utils/enhancer.py:454."""
+    return {
+        name: {"scale": cfg.scale, "num_block": cfg.num_block}
+        for name, cfg in MODEL_CATALOG.items()
+    }
+
+
+def enhance_face_crops_batch(
+    input_dir: str,
+    output_dir: str,
+    enhancer: FaceEnhancer,
+    outscale: Optional[float] = None,
+    max_retries: int = 2,
+) -> dict:
+    """Iterate a crops directory, enhance each crop file with per-file retry,
+    return a stats dict (reference utils/enhancer.py:305-407)."""
+    os.makedirs(output_dir, exist_ok=True)
+    files = sorted(
+        f
+        for f in os.listdir(input_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
+    )
+    stats = {
+        "total": len(files),
+        "enhanced": 0,
+        "failed": 0,
+        "failed_files": [],
+        "seconds": 0.0,
+    }
+    t0 = time.perf_counter()
+    for fname in files:
+        src = os.path.join(input_dir, fname)
+        dst = os.path.join(output_dir, fname)
+        ok = False
+        for _ in range(max_retries):
+            try:
+                enhancer.enhance_face_crop(src, dst, outscale)
+                ok = True
+                break
+            except Exception:  # per-file resilience (reference :362-377)
+                continue
+        if ok:
+            stats["enhanced"] += 1
+        else:
+            stats["failed"] += 1
+            stats["failed_files"].append(fname)
+    stats["seconds"] = time.perf_counter() - t0
+    return stats
+
+
+def create_enhancement_summary(
+    stats: dict, output_path: Optional[str] = None, model_info: Optional[dict] = None
+) -> str:
+    """Text report (reference utils/enhancer.py:409-451)."""
+    lines = [
+        "ENHANCEMENT SUMMARY",
+        "=" * 40,
+        f"Total crops: {stats.get('total', 0)}",
+        f"Enhanced: {stats.get('enhanced', 0)}",
+        f"Failed: {stats.get('failed', 0)}",
+        f"Elapsed: {stats.get('seconds', 0.0):.2f}s",
+    ]
+    if stats.get("failed_files"):
+        lines.append("Failed files: " + ", ".join(stats["failed_files"]))
+    if model_info:
+        lines.append("")
+        lines.append("Model:")
+        for k, v in model_info.items():
+            lines.append(f"  {k}: {v}")
+    report = "\n".join(lines)
+    if output_path:
+        os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+        with open(output_path, "w") as f:
+            f.write(report)
+    return report

@@ -1,0 +1,99 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from facedet_tpu.engine.enhancer import (
+    FaceEnhancer,
+    create_enhancement_summary,
+    enhance_face_crops_batch,
+    get_available_models,
+    tiled_sr,
+)
+from facedet_tpu.models.rrdbnet import RRDBConfig, RRDBNet, pixel_unshuffle
+
+TINY = RRDBConfig(num_feat=8, num_block=1, num_grow_ch=4, scale=4)
+
+
+def test_pixel_unshuffle():
+    x = jnp.arange(2 * 4 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 4, 3)
+    y = pixel_unshuffle(x, 2)
+    assert y.shape == (2, 2, 2, 12)
+    # first output pixel packs the 2x2 input block
+    np.testing.assert_allclose(np.asarray(y[0, 0, 0, :3]), np.asarray(x[0, 0, 0]))
+
+
+@pytest.mark.parametrize("scale,shape", [(4, (1, 8, 8, 3)), (2, (1, 8, 8, 3))])
+def test_rrdbnet_shapes(scale, shape):
+    cfg = RRDBConfig(num_feat=8, num_block=1, num_grow_ch=4, scale=scale)
+    model = RRDBNet(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros(shape))
+    out = model.apply(v, jnp.ones(shape) * 0.5)
+    assert out.shape == (1, shape[1] * scale, shape[2] * scale, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tiled_sr_exact_with_local_fn():
+    # 3x3 mean filter + nearest 2x upsample: receptive field 1px <= tile_pad,
+    # so tiled and whole-image execution must agree exactly.
+    def fn(x):
+        k = jnp.ones((3, 3, 3, 3)) / 9.0 * jnp.eye(3)[None, None]
+        y = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        b, h, w, c = y.shape
+        y = jnp.broadcast_to(y[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+        return y.reshape(b, 2 * h, 2 * w, c)
+
+    img = jax.random.uniform(jax.random.PRNGKey(1), (50, 70, 3))
+    full = fn(img[None])[0]
+    tiled = tiled_sr(fn, img, scale=2, tile=32, tile_pad=4)
+    assert tiled.shape == full.shape == (100, 140, 3)
+    # interior must be exact (image borders differ: reflect halo vs SAME-zero);
+    # in particular the tile seams at 32/64 lie inside this region.
+    np.testing.assert_allclose(
+        np.asarray(tiled)[4:-4, 4:-4], np.asarray(full)[4:-4, 4:-4], atol=1e-5
+    )
+
+
+def test_enhancer_enhance_image_and_outscale():
+    enh = FaceEnhancer(cfg=TINY, outscale=4, tile=0, half=False)
+    img = (np.random.default_rng(0).uniform(0, 255, (12, 16, 3))).astype(np.uint8)
+    out, dt = enh.enhance_image(img)
+    assert out.shape == (48, 64, 3) and out.dtype == np.uint8
+    out2, _ = enh.enhance_image(img, outscale=2)
+    assert out2.shape == (24, 32, 3)
+    info = enh.get_model_info()
+    assert info["scale"] == 4 and info["num_params"] > 0
+
+
+def test_enhancer_x2_odd_size():
+    cfg = RRDBConfig(num_feat=8, num_block=1, num_grow_ch=4, scale=2)
+    enh = FaceEnhancer(cfg=cfg, outscale=2, tile=0, half=False)
+    img = np.zeros((11, 13, 3), np.uint8)  # odd dims need unshuffle padding
+    out, _ = enh.enhance_image(img)
+    assert out.shape == (22, 26, 3)
+
+
+def test_crops_batch_and_summary(tmp_path):
+    from facedet_tpu.utils.viz import save_image
+
+    crops = tmp_path / "crops"
+    outdir = tmp_path / "enhanced"
+    crops.mkdir()
+    for i in range(3):
+        save_image(str(crops / f"face_{i}_conf_0.90.jpg"), np.full((10, 9, 3), 100, np.uint8))
+    enh = FaceEnhancer(cfg=TINY, outscale=4, tile=0, half=False)
+    stats = enhance_face_crops_batch(str(crops), str(outdir), enh)
+    assert stats["total"] == 3 and stats["enhanced"] == 3 and stats["failed"] == 0
+    report = create_enhancement_summary(stats, model_info=enh.get_model_info())
+    assert "Enhanced: 3" in report
+    assert len(list(outdir.iterdir())) == 3
+
+
+def test_catalog():
+    cat = get_available_models()
+    assert cat["RealESRGAN_x4plus"]["num_block"] == 23
+    assert cat["RealESRGAN_x2plus"]["scale"] == 2
+    with pytest.raises(ValueError):
+        FaceEnhancer(model_name="nope")
