@@ -1,0 +1,289 @@
+"""YOLOv11(-pose) training: loss, assigner, optax trainer, sharded train step.
+
+The reference trains through ultralytics' closed trainer
+(pipeline_v3_RTDETR/train_rtdetr.py:162-218 — AdamW lr 1e-4, batch 8; the
+YOLO-pose checkpoints of ``hasil training.txt`` come from the same stack).
+Here training is an explicit jitted step:
+
+  * center-inside + nearest-center one-to-one assigner (static shapes; a
+    simplified stand-in for TAL that keeps every op MXU/VPU friendly)
+  * DFL two-hot cross-entropy on ltrb distances + IoU loss + BCE cls
+  * optional 5-keypoint loss (L1 + visibility BCE)
+  * multi-chip: batch sharded over ``dp``, params FSDP-sharded over ``tile``;
+    XLA inserts the grad reduce-scatter/all-reduce from the shardings.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from facedet_tpu.models.yolov11 import REG_MAX, STRIDES, YoloConfig, YoloV11
+from facedet_tpu.parallel.sharding import (
+    batch_sharding,
+    fsdp_param_shardings,
+    replicated,
+)
+
+__all__ = ["yolo_loss", "make_optimizer", "make_train_step", "make_sharded_train_step"]
+
+
+def _flat_anchors(level_shapes: list[tuple[int, int]]):
+    anchors, strides = [], []
+    for (h, w), s in zip(level_shapes, STRIDES):
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * s
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * s
+        yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+        anchors.append(jnp.stack([xx.reshape(-1), yy.reshape(-1)], -1))
+        strides.append(jnp.full((h * w,), float(s)))
+    return jnp.concatenate(anchors), jnp.concatenate(strides)
+
+
+def _assign(anchors, strides, gt_boxes, gt_mask):
+    """One anchor per GT: nearest anchor center among those inside the box
+    (fallback: globally nearest). Returns [M] anchor indices."""
+    cx = (gt_boxes[:, 0] + gt_boxes[:, 2]) * 0.5
+    cy = (gt_boxes[:, 1] + gt_boxes[:, 3]) * 0.5
+    inside = (
+        (anchors[None, :, 0] >= gt_boxes[:, None, 0])
+        & (anchors[None, :, 0] <= gt_boxes[:, None, 2])
+        & (anchors[None, :, 1] >= gt_boxes[:, None, 1])
+        & (anchors[None, :, 1] <= gt_boxes[:, None, 3])
+    )
+    # prefer the level whose stride matches the box size (size/stride in [2,8])
+    size = jnp.maximum(gt_boxes[:, 2] - gt_boxes[:, 0], gt_boxes[:, 3] - gt_boxes[:, 1])
+    ratio = size[:, None] / strides[None, :]
+    level_ok = (ratio >= 1.5) & (ratio < 12.0)
+    dist = jnp.hypot(anchors[None, :, 0] - cx[:, None], anchors[None, :, 1] - cy[:, None])
+    cost = dist + jnp.where(inside, 0.0, 1e6) + jnp.where(level_ok, 0.0, 1e3)
+    return jnp.argmin(cost, axis=1)  # [M]
+
+
+def _iou_xyxy(a, b, eps=1e-7):
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = jnp.clip(a[..., 2] - a[..., 0], 0) * jnp.clip(a[..., 3] - a[..., 1], 0)
+    area_b = jnp.clip(b[..., 2] - b[..., 0], 0) * jnp.clip(b[..., 3] - b[..., 1], 0)
+    return inter / (area_a + area_b - inter + eps)
+
+
+def yolo_loss(
+    level_outputs: list[dict],
+    gt_boxes: jax.Array,  # [B, M, 4] xyxy pixels
+    gt_mask: jax.Array,  # [B, M] bool
+    gt_kpts: Optional[jax.Array] = None,  # [B, M, K, 3] (x, y, vis)
+    box_weight: float = 7.5,
+    cls_weight: float = 0.5,
+    dfl_weight: float = 1.5,
+    kpt_weight: float = 12.0,
+    kobj_weight: float = 1.0,
+) -> tuple[jax.Array, dict]:
+    level_shapes = [(lvl["box"].shape[1], lvl["box"].shape[2]) for lvl in level_outputs]
+    anchors, strides = _flat_anchors(level_shapes)
+    a_total = anchors.shape[0]
+    b = level_outputs[0]["box"].shape[0]
+    nc = level_outputs[0]["cls"].shape[-1]
+
+    box_logits = jnp.concatenate(
+        [lvl["box"].reshape(b, -1, 4, REG_MAX) for lvl in level_outputs], axis=1
+    )
+    cls_logits = jnp.concatenate(
+        [lvl["cls"].reshape(b, -1, nc) for lvl in level_outputs], axis=1
+    )
+    has_kpt = gt_kpts is not None and "kpt" in level_outputs[0]
+    if has_kpt:
+        k = gt_kpts.shape[-2]
+        kpt_raw = jnp.concatenate(
+            [lvl["kpt"].reshape(b, -1, k, 3) for lvl in level_outputs], axis=1
+        )
+
+    def per_image(box_lg, cls_lg, boxes, mask, kpt_lg=None, kpts=None):
+        m = boxes.shape[0]
+        idx = _assign(anchors, strides, boxes, mask)  # [M]
+        pos_anchor = anchors[idx]  # [M,2]
+        pos_stride = strides[idx]  # [M]
+
+        # ---- DFL on ltrb distances (cell units) ----
+        ltrb = jnp.stack(
+            [
+                (pos_anchor[:, 0] - boxes[:, 0]) / pos_stride,
+                (pos_anchor[:, 1] - boxes[:, 1]) / pos_stride,
+                (boxes[:, 2] - pos_anchor[:, 0]) / pos_stride,
+                (boxes[:, 3] - pos_anchor[:, 1]) / pos_stride,
+            ],
+            axis=-1,
+        )
+        ltrb = jnp.clip(ltrb, 0.0, REG_MAX - 1 - 1e-3)
+        lo = jnp.floor(ltrb)
+        w_hi = ltrb - lo
+        logp = jax.nn.log_softmax(box_lg[idx], axis=-1)  # [M,4,REG_MAX]
+        lo_i = lo.astype(jnp.int32)
+        lp_lo = jnp.take_along_axis(logp, lo_i[..., None], -1)[..., 0]
+        lp_hi = jnp.take_along_axis(
+            logp, jnp.minimum(lo_i + 1, REG_MAX - 1)[..., None], -1
+        )[..., 0]
+        dfl = -((1 - w_hi) * lp_lo + w_hi * lp_hi)
+        dfl = (dfl.mean(-1) * mask).sum() / jnp.maximum(mask.sum(), 1)
+
+        # ---- IoU loss on decoded boxes ----
+        proj = jnp.arange(REG_MAX, dtype=jnp.float32)
+        dist = (jax.nn.softmax(box_lg[idx], -1) * proj).sum(-1)  # [M,4]
+        pred_box = jnp.stack(
+            [
+                pos_anchor[:, 0] - dist[:, 0] * pos_stride,
+                pos_anchor[:, 1] - dist[:, 1] * pos_stride,
+                pos_anchor[:, 0] + dist[:, 2] * pos_stride,
+                pos_anchor[:, 1] + dist[:, 3] * pos_stride,
+            ],
+            axis=-1,
+        )
+        iou = _iou_xyxy(pred_box, boxes)
+        box_l = ((1.0 - iou) * mask).sum() / jnp.maximum(mask.sum(), 1)
+
+        # ---- classification BCE over all anchors ----
+        tgt = jnp.zeros((a_total, nc))
+        tgt = tgt.at[idx, 0].max(mask.astype(jnp.float32) * jnp.maximum(iou, 0.0))
+        cls_l = optax.sigmoid_binary_cross_entropy(cls_lg, tgt).sum() / jnp.maximum(
+            mask.sum(), 1
+        )
+
+        out = {"box": box_l, "cls": cls_l, "dfl": dfl}
+        if kpt_lg is not None:
+            pk = kpt_lg[idx]  # [M,K,3]
+            px = (pk[..., 0] * 2.0 + (pos_anchor[:, None, 0] / pos_stride[:, None] - 0.5)) * pos_stride[:, None]
+            py = (pk[..., 1] * 2.0 + (pos_anchor[:, None, 1] / pos_stride[:, None] - 0.5)) * pos_stride[:, None]
+            vis = kpts[..., 2] > 0
+            wsum = jnp.maximum((vis * mask[:, None]).sum(), 1)
+            size = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1.0)[:, None]
+            kl = (jnp.abs(px - kpts[..., 0]) + jnp.abs(py - kpts[..., 1])) / size
+            out["kpt"] = (kl * vis * mask[:, None]).sum() / wsum
+            out["kobj"] = (
+                optax.sigmoid_binary_cross_entropy(
+                    pk[..., 2], vis.astype(jnp.float32)
+                )
+                * mask[:, None]
+            ).sum() / wsum
+        return out
+
+    if has_kpt:
+        losses = jax.vmap(per_image)(box_logits, cls_logits, gt_boxes, gt_mask, kpt_raw, gt_kpts)
+    else:
+        losses = jax.vmap(per_image)(box_logits, cls_logits, gt_boxes, gt_mask)
+    losses = jax.tree.map(jnp.mean, losses)
+    total = (
+        box_weight * losses["box"]
+        + cls_weight * losses["cls"]
+        + dfl_weight * losses["dfl"]
+    )
+    if has_kpt:
+        total = total + kpt_weight * losses["kpt"] + kobj_weight * losses["kobj"]
+    return total, losses
+
+
+def make_optimizer(
+    lr: float = 1e-4, weight_decay: float = 0.0005, warmup_steps: int = 100
+) -> optax.GradientTransformation:
+    """AdamW matching the reference's training config
+    (pipeline_v3_RTDETR/train_rtdetr.py:191-207: optimizer AdamW, lr0 1e-4)."""
+    sched = optax.warmup_cosine_decay_schedule(0.0, lr, warmup_steps, 10_000, lr * 0.01)
+    return optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.adamw(sched, weight_decay=weight_decay),
+    )
+
+
+def make_train_step(model: YoloV11, tx: optax.GradientTransformation):
+    """Single-device jitted train step. batch = (images [B,H,W,3],
+    gt_boxes [B,M,4], gt_mask [B,M], gt_kpts [B,M,K,3] | None)."""
+
+    def loss_fn(params, batch_stats, images, gt_boxes, gt_mask, gt_kpts):
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        total, parts = yolo_loss(outs, gt_boxes, gt_mask, gt_kpts)
+        return total, (parts, mutated["batch_stats"])
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, images, gt_boxes, gt_mask, gt_kpts):
+        (loss, (parts, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, images, gt_boxes, gt_mask, gt_kpts
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, loss, parts
+
+    return step
+
+
+def make_sharded_train_step(
+    model: YoloV11, tx: optax.GradientTransformation, mesh, fsdp_axis: str = "tile"
+):
+    """Multi-chip train step: images/targets sharded over ``dp``, params and
+    optimizer state FSDP-sharded over ``fsdp_axis``. Returns (step_fn,
+    shard_fn) where shard_fn places (params, batch_stats, opt_state) on the
+    mesh according to the plan."""
+
+    def loss_fn(params, batch_stats, images, gt_boxes, gt_mask, gt_kpts):
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        total, parts = yolo_loss(outs, gt_boxes, gt_mask, gt_kpts)
+        return total, (parts, mutated["batch_stats"])
+
+    def step(params, batch_stats, opt_state, images, gt_boxes, gt_mask, gt_kpts):
+        (loss, (parts, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, images, gt_boxes, gt_mask, gt_kpts
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, loss, parts
+
+    def make_plans(params, batch_stats, opt_state):
+        p_plan = fsdp_param_shardings(params, mesh, axis=fsdp_axis)
+        bs_plan = jax.tree.map(lambda _: replicated(mesh), batch_stats)
+        o_plan = jax.tree.map(
+            lambda x: fsdp_param_shardings(x, mesh, axis=fsdp_axis)
+            if hasattr(x, "ndim")
+            else replicated(mesh),
+            opt_state,
+            is_leaf=lambda x: hasattr(x, "ndim"),
+        )
+        return p_plan, bs_plan, o_plan
+
+    def shard_state(params, batch_stats, opt_state):
+        p_plan, bs_plan, o_plan = make_plans(params, batch_stats, opt_state)
+        return (
+            jax.device_put(params, p_plan),
+            jax.device_put(batch_stats, bs_plan),
+            jax.device_put(opt_state, o_plan),
+        )
+
+    def jit_step(params, batch_stats, opt_state):
+        p_plan, bs_plan, o_plan = make_plans(params, batch_stats, opt_state)
+        data = lambda ndim: batch_sharding(mesh, ndim, "dp")
+        return jax.jit(
+            step,
+            in_shardings=(
+                p_plan,
+                bs_plan,
+                o_plan,
+                data(4),
+                data(3),
+                data(2),
+                data(4),
+            ),
+            out_shardings=(p_plan, bs_plan, o_plan, replicated(mesh), None),
+        )
+
+    return jit_step, shard_state

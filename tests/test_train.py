@@ -1,0 +1,74 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from facedet_tpu.models.yolov11 import YoloConfig, YoloV11
+from facedet_tpu.train.yolo_train import make_optimizer, make_train_step, yolo_loss
+
+CFG = YoloConfig(scale="n", num_classes=1, with_pose=True)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = YoloV11(CFG)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    return model, variables
+
+
+def make_batch(b=2, m=3, size=64, seed=0):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(4, size - 24, (b, m, 2))
+    wh = rng.uniform(8, 20, (b, m, 2))
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    mask = np.ones((b, m), bool)
+    mask[:, -1] = False  # one padded GT per image
+    kpts = np.zeros((b, m, 5, 3), np.float32)
+    kpts[..., 0] = boxes[..., None, 0] + wh[..., None, 0] / 2
+    kpts[..., 1] = boxes[..., None, 1] + wh[..., None, 1] / 2
+    kpts[..., 2] = 1.0
+    images = rng.uniform(0, 1, (b, size, size, 3)).astype(np.float32)
+    return (
+        jnp.asarray(images),
+        jnp.asarray(boxes),
+        jnp.asarray(mask),
+        jnp.asarray(kpts),
+    )
+
+
+def test_loss_finite_and_parts(setup):
+    model, variables = setup
+    images, boxes, mask, kpts = make_batch()
+    outs = model.apply(variables, images, train=False)
+    total, parts = yolo_loss(outs, boxes, mask, kpts)
+    assert np.isfinite(float(total))
+    for key in ("box", "cls", "dfl", "kpt", "kobj"):
+        assert key in parts and np.isfinite(float(parts[key]))
+
+
+def test_train_step_reduces_loss(setup):
+    model, variables = setup
+    tx = make_optimizer(lr=5e-3, warmup_steps=1)
+    step = make_train_step(model, tx)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+    images, boxes, mask, kpts = make_batch()
+    losses = []
+    for _ in range(6):
+        params, batch_stats, opt_state, loss, _ = step(
+            params, batch_stats, opt_state, images, boxes, mask, kpts
+        )
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], losses
+
+
+def test_loss_without_keypoints(setup):
+    model, variables = setup
+    images, boxes, mask, _ = make_batch()
+    outs = model.apply(variables, images, train=False)
+    outs = [{k: v for k, v in lvl.items() if k != "kpt"} for lvl in outs]
+    total, parts = yolo_loss(outs, boxes, mask, None)
+    assert np.isfinite(float(total)) and "kpt" not in parts
