@@ -1,0 +1,102 @@
+"""Headline benchmark: WIDERFACE-style images/sec with SAHI 640-pixel slices.
+
+Pipeline per image (the reference's app_yolo_sahi capability, BASELINE.json
+config #2): 1024x1536 image -> SAHI 640x640 tiles @ 0.2 overlap (6 tiles +
+full-image standard pass) -> YOLOv11-s-pose (bfloat16) over the whole tile
+batch in one dispatch -> on-device decode + GreedyNMM merge -> host detection
+list. Static shapes; one compile.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against the same pipeline executed with JAX on this
+host's CPU (the reference stack is CUDA/CPU torch; its committed results
+publish no throughput — BASELINE.md "Operating point & throughput" — so the
+CPU run of this pipeline is the reproducible stand-in). Measure it with
+``python bench.py --cpu`` ; the constant below records the last measurement.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+# Measured with `python bench.py --cpu` on this host (see module docstring).
+CPU_REFERENCE_IPS = 0.26
+
+
+def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from facedet_tpu.engine.detector import YoloV11PoseDetectionModel
+    from facedet_tpu.engine.predict import get_sliced_prediction
+
+    model = YoloV11PoseDetectionModel(
+        scale="s",
+        dtype="bfloat16",
+        confidence_threshold=0.25,
+        image_size=640,
+        max_detections_per_tile=300,
+    )
+    h, w = image_hw
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+
+    def one(i):
+        return get_sliced_prediction(
+            img,
+            model,
+            slice_height=640,
+            slice_width=640,
+            overlap_height_ratio=0.2,
+            overlap_width_ratio=0.2,
+            perform_standard_pred=True,
+            postprocess_type="GREEDYNMM",
+            postprocess_match_metric="IOS",
+            postprocess_match_threshold=0.5,
+            postprocess_class_agnostic=True,
+        )
+
+    for i in range(warmup):
+        one(i)
+    lat = []
+    t_start = time.perf_counter()
+    for i in range(num_images):
+        t0 = time.perf_counter()
+        one(i)
+        lat.append(time.perf_counter() - t0)
+    elapsed = time.perf_counter() - t_start
+    ips = num_images / elapsed
+    p50 = sorted(lat)[len(lat) // 2]
+    return ips, p50
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=16)
+    ap.add_argument("--cpu", action="store_true", help="measure the CPU baseline")
+    args = ap.parse_args()
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    ips, p50 = run_bench(args.images)
+    out = {
+        "metric": "widerface_sahi640_images_per_sec",
+        "value": round(ips, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / CPU_REFERENCE_IPS, 2),
+        "p50_latency_s": round(p50, 4),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,14 +106,27 @@ class DetectionModel:
         self.variables = None
         self._forward_cache().cache_clear()
 
-    def forward_tiles(self, tiles: jax.Array, conf_threshold: float | None = None) -> Detections:
-        """tiles [T,S,S,3] float32 in [0,1] -> per-tile Detections (batched).
-
-        Jitted & cached per (T, S) shape bucket."""
+    def tile_forward(
+        self, variables, tiles: jax.Array, conf_threshold: float
+    ) -> Detections:
+        """PURE traceable forward: tiles [T,S,S,3] float32 in [0,1] -> per-tile
+        Detections (batched). Subclasses implement this; it is composed into
+        larger fused jits by the prediction engine."""
         raise NotImplementedError
+
+    @functools.lru_cache(maxsize=None)
+    def _jitted_forward(self, conf_threshold: float):
+        return jax.jit(
+            lambda variables, tiles: self.tile_forward(variables, tiles, conf_threshold)
+        )
+
+    def forward_tiles(self, tiles: jax.Array, conf_threshold: float | None = None) -> Detections:
+        """Jitted tile_forward, cached per (T, S) shape bucket."""
+        conf = self.confidence_threshold if conf_threshold is None else conf_threshold
+        return self._jitted_forward(float(conf))(self.variables, tiles)
 
     def _forward_cache(self):
-        raise NotImplementedError
+        return self._jitted_forward
 
     # --- host-side compatibility edge ---------------------------------
     def perform_inference(self, image: np.ndarray) -> None:
@@ -219,30 +232,18 @@ class YoloV11PoseDetectionModel(DetectionModel):
         else:
             raise ValueError(f"unsupported checkpoint format: {self.model_path}")
 
-    @functools.lru_cache(maxsize=None)
-    def _jitted_forward(self, conf_threshold: float):
+    def tile_forward(self, variables, tiles, conf_threshold: float) -> Detections:
         from facedet_tpu.models.yolo_decode import (
             decode_predictions,
             decode_to_detections,
         )
 
-        @jax.jit
-        def fwd(variables, tiles):
-            outs = self.model.apply(variables, tiles, train=False)
-            preds = decode_predictions(outs)
-            return decode_to_detections(
-                preds,
-                conf_threshold=conf_threshold,
-                max_detections=self.max_detections_per_tile,
-                nms_iou=0.7,
-                class_agnostic=True,
-            )
-
-        return fwd
-
-    def _forward_cache(self):
-        return self._jitted_forward
-
-    def forward_tiles(self, tiles: jax.Array, conf_threshold: float | None = None) -> Detections:
-        conf = self.confidence_threshold if conf_threshold is None else conf_threshold
-        return self._jitted_forward(float(conf))(self.variables, tiles)
+        outs = self.model.apply(variables, tiles, train=False)
+        preds = decode_predictions(outs)
+        return decode_to_detections(
+            preds,
+            conf_threshold=conf_threshold,
+            max_detections=self.max_detections_per_tile,
+            nms_iou=0.7,
+            class_agnostic=True,
+        )

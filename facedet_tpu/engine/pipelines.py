@@ -151,12 +151,13 @@ def enhance_first_pipeline(
     # map detections back to original coordinates (divide by scale)
     det = result.detections
     h, w = img.shape[:2]
+    kpts = jnp.asarray(det.kpts)
     det = Detections(
-        boxes=jnp.clip(det.boxes / scale, 0, max(h, w)),
-        scores=det.scores,
-        classes=det.classes,
-        kpts=det.kpts.at[..., :2].divide(scale),
-        valid=det.valid,
+        boxes=jnp.clip(jnp.asarray(det.boxes) / scale, 0, max(h, w)),
+        scores=jnp.asarray(det.scores),
+        classes=jnp.asarray(det.classes),
+        kpts=kpts.at[..., :2].divide(scale),
+        valid=jnp.asarray(det.valid),
     )
     preds = detections_to_object_predictions(
         det, detection_model.category_mapping, full_shape=(h, w)

@@ -88,6 +88,79 @@ def _clip_detections(det: Detections, h: jax.Array, w: jax.Array) -> Detections:
     )
 
 
+def _get_fused_pipeline(
+    detection_model: DetectionModel,
+    key: tuple,
+):
+    """Build (and cache on the model) ONE jitted function running the whole
+    sliced pipeline on device: normalize -> pad -> tile gather -> detector
+    forward over the tile batch (+ full-image letterboxed standard pass) ->
+    slice-to-global shift -> truncate -> GreedyNMM/NMS merge -> clip.
+
+    A single dispatch per image: the reference instead round-trips the host
+    between every stage (docs sahi/predict.py:270-320), which over a remote
+    TPU link costs ~100x the device compute."""
+    cache = detection_model.__dict__.setdefault("_fused_cache", {})
+    if key in cache:
+        return cache[key]
+    (
+        h,
+        w,
+        slice_h,
+        slice_w,
+        padded_h,
+        padded_w,
+        standard,
+        conf,
+        mode,
+        metric,
+        threshold,
+        agnostic,
+        capacity,
+        img_size,
+        use_pallas,
+    ) = key
+    spec = compute_letterbox(h, w, img_size) if standard else None
+
+    @jax.jit
+    def fused(variables, image, offsets, tile_valid):
+        imgf = (
+            image.astype(jnp.float32) / 255.0
+            if image.dtype == jnp.uint8
+            else image.astype(jnp.float32)
+        )
+        padded = pad_image(imgf, padded_h, padded_w)
+        tiles = gather_tiles(padded, offsets, slice_h, slice_w, use_pallas=use_pallas)
+        det = detection_model.tile_forward(variables, tiles, conf)
+        flat = _shift_and_flatten(det, offsets, tile_valid)
+        parts = [flat]
+        if standard:
+            full_tile = apply_letterbox(imgf, spec)
+            full_det = detection_model.tile_forward(variables, full_tile[None], conf)
+            full_det = jax.tree.map(lambda x: x[0], full_det)
+            full_det = Detections(
+                boxes=unletterbox_boxes(full_det.boxes, spec),
+                scores=full_det.scores,
+                classes=full_det.classes,
+                kpts=unletterbox_kpts(full_det.kpts, spec),
+                valid=full_det.valid,
+            )
+            parts.append(full_det)
+        combined = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+        combined = _truncate_by_score(combined, capacity)
+        merged = merge_detections(
+            combined,
+            mode=mode,
+            match_metric=metric,
+            match_threshold=threshold,
+            class_agnostic=agnostic,
+        )
+        return _clip_detections(merged, h, w)
+
+    cache[key] = fused
+    return fused
+
+
 def _prepare_image(image) -> np.ndarray:
     img = np.asarray(image)
     if img.ndim == 2:
@@ -160,46 +233,38 @@ def get_sliced_prediction(
     t_bucket = bucket_tile_count(grid.num_tiles)
     offsets, tile_valid = pad_grid_offsets(grid, t_bucket)
 
-    imgf = jnp.asarray(img, jnp.float32) / 255.0 if img.dtype == np.uint8 else jnp.asarray(img, jnp.float32)
-    padded = pad_image(imgf, grid.padded_h, grid.padded_w)
-    tiles = gather_tiles(
-        padded, jnp.asarray(offsets), slice_height, slice_width, use_pallas=use_pallas_gather
-    )
     durations["slice"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    per_tile = detection_model.forward_tiles(tiles)
-    flat = _shift_and_flatten(per_tile, jnp.asarray(offsets), jnp.asarray(tile_valid))
-
-    parts = [flat]
-    if perform_standard_pred:
-        size = int(detection_model.image_size or max(slice_height, slice_width))
-        spec = compute_letterbox(h, w, size)
-        full_tile = apply_letterbox(imgf, spec)
-        full_det = detection_model.forward_tiles(full_tile[None])
-        full_det = jax.tree.map(lambda x: x[0], full_det)
-        full_det = Detections(
-            boxes=unletterbox_boxes(full_det.boxes, spec),
-            scores=full_det.scores,
-            classes=full_det.classes,
-            kpts=unletterbox_kpts(full_det.kpts, spec),
-            valid=full_det.valid,
-        )
-        parts.append(full_det)
-
-    combined = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
-    combined = _truncate_by_score(combined, merge_capacity)
-    durations["prediction"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    merged = merge_detections(
-        combined,
-        mode=postprocess_type,
-        match_metric=postprocess_match_metric,
-        match_threshold=postprocess_match_threshold,
-        class_agnostic=postprocess_class_agnostic,
+    img_size = int(detection_model.image_size or max(slice_height, slice_width))
+    key = (
+        h,
+        w,
+        slice_height,
+        slice_width,
+        grid.padded_h,
+        grid.padded_w,
+        bool(perform_standard_pred),
+        float(detection_model.confidence_threshold),
+        postprocess_type.upper(),
+        postprocess_match_metric.upper(),
+        float(postprocess_match_threshold),
+        bool(postprocess_class_agnostic),
+        int(merge_capacity),
+        img_size,
+        bool(use_pallas_gather),
     )
-    merged = _clip_detections(merged, h, w)
+    fused = _get_fused_pipeline(detection_model, key)
+    merged = fused(
+        detection_model.variables,
+        jnp.asarray(img),
+        jnp.asarray(offsets),
+        jnp.asarray(tile_valid),
+    )
+    # one batched host round-trip for the whole result (numpy-backed pytree)
+    merged = jax.device_get(merged)
+    durations["prediction"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
     durations["postprocess"] = time.perf_counter() - t0
 
     preds = detections_to_object_predictions(

@@ -3,18 +3,21 @@
 TPU-native replacement for SAHI's CPU postprocess classes
 (POSTPROCESS_NAME_TO_CLASS — docs sahi/predict.py:44-49, invoked at
 :254-259,316-320), which walk Python ``ObjectPrediction`` lists with
-shapely-backed geometry. Here the merge is a single ``lax.fori_loop`` over a
-precomputed ``[N, N]`` match matrix on fixed-capacity ``Detections``; keypoints
-ride through as columns, eliminating the reference's post-merge fuzzy-IoU
-keypoint re-attachment (utils/yolo_wrapper.py:168-200).
+shapely-backed geometry. Keypoints ride through as columns, eliminating the
+reference's post-merge fuzzy-IoU keypoint re-attachment
+(utils/yolo_wrapper.py:168-200).
 
-Semantics:
-  * NMS        — keep highest-score box of every matched group, drop the rest.
-  * NMM / GREEDYNMM — merge each matched group into its keeper: union bbox,
-    keeper's score/class/keypoints (sahi merges pairs by bbox-union and keeps
-    the higher score — the keeper, since groups are formed in score order).
-    Match sets are formed greedily in descending score order against original
-    (pre-merge) coordinates, matching ``sahi.postprocess.combine.greedy_nmm``.
+Algorithm: greedy NMS ("keep i iff no kept j with higher score matches i") is
+the unique fixpoint of a dominance recursion. Instead of an O(N) sequential
+loop — pathological on TPU — we solve it by Jacobi iteration: each round is
+one [N,N]x[N] masked matvec (MXU work), and the iterate is exact for every box
+whose suppression-chain depth <= round. A ``lax.while_loop`` runs until
+fixpoint (bounded by N, typically ~5 rounds). Group membership for NMM box
+merging (union bbox per keeper, matching ``sahi.postprocess.combine``
+greedy_nmm semantics: match sets formed in score order against original
+coordinates, keeper's score/class/keypoints kept) is then a single masked
+min/max reduction.
+
   * metric ∈ {IOU, IOS}; ``class_agnostic`` gates same-class matching
     (utils/tuning_sahi.py:106 uses class-agnostic for single-class faces).
 """
@@ -28,9 +31,31 @@ import jax.numpy as jnp
 from facedet_tpu.core.boxes import pair_metric_matrix
 from facedet_tpu.core.detections import Detections
 
-__all__ = ["merge_detections", "nms", "POSTPROCESS_TYPES"]
+__all__ = ["merge_detections", "nms", "greedy_keep_mask", "POSTPROCESS_TYPES"]
 
 POSTPROCESS_TYPES = ("NMS", "NMM", "GREEDYNMM")
+
+
+def greedy_keep_mask(match: jax.Array, valid: jax.Array) -> jax.Array:
+    """Exact greedy-NMS keep mask via fixpoint iteration.
+
+    match: [N, N] bool, True where row i (higher score, i < j enforced by the
+    caller via upper-triangular masking) suppresses column j.
+    valid: [N] bool. Returns kept [N] bool."""
+    matchf = match.astype(jnp.float32)
+
+    def body(state):
+        kept, _ = state
+        suppressed = (matchf.T @ kept.astype(jnp.float32)) > 0.0
+        new_kept = valid & ~suppressed
+        changed = jnp.any(new_kept != kept)
+        return new_kept, changed
+
+    def cond(state):
+        return state[1]
+
+    kept, _ = jax.lax.while_loop(cond, body, (valid, jnp.array(True)))
+    return kept
 
 
 @functools.partial(
@@ -60,30 +85,35 @@ def merge_detections(
     tri = jnp.arange(n)[None, :] > jnp.arange(n)[:, None]
     match &= tri & det.valid[None, :] & det.valid[:, None]
 
-    def body(i, state):
-        alive, boxes = state
-        row = match[i] & alive & alive[i]  # group members for keeper i
-        if merge_boxes:
-            any_sel = row[:, None]
-            x1y1 = jnp.min(jnp.where(any_sel, boxes[:, :2], jnp.inf), axis=0)
-            x2y2 = jnp.max(jnp.where(any_sel, boxes[:, 2:], -jnp.inf), axis=0)
-            merged = jnp.concatenate(
-                [jnp.minimum(x1y1, boxes[i, :2]), jnp.maximum(x2y2, boxes[i, 2:])]
-            )
-            keep_any = alive[i] & jnp.any(row)
-            boxes = boxes.at[i].set(jnp.where(keep_any, merged, boxes[i]))
-        alive = alive & ~row
-        return alive, boxes
+    kept = greedy_keep_mask(match, det.valid)
+    boxes = det.boxes
 
-    alive, boxes = jax.lax.fori_loop(0, n, body, (det.valid, det.boxes))
-    out = Detections(
+    if merge_boxes:
+        # member[i, j]: suppressed box j belongs to keeper i's group — the
+        # FIRST (highest-score) kept row matching it, per greedy semantics.
+        cand = match & kept[:, None] & ~kept[None, :]
+        idx = jnp.arange(n)
+        first_keeper = jnp.min(
+            jnp.where(cand, idx[:, None], n), axis=0
+        )  # [N] keeper index per suppressed box (n = none)
+        member = (first_keeper[None, :] == idx[:, None]) & cand
+        group = member | (jnp.eye(n, dtype=bool) & kept[:, None])
+        gx1y1 = jnp.min(
+            jnp.where(group[..., None], boxes[None, :, :2], jnp.inf), axis=1
+        )
+        gx2y2 = jnp.max(
+            jnp.where(group[..., None], boxes[None, :, 2:], -jnp.inf), axis=1
+        )
+        merged = jnp.concatenate([gx1y1, gx2y2], axis=-1)
+        boxes = jnp.where(kept[:, None], merged, boxes)
+
+    return Detections(
         boxes=boxes,
         scores=det.scores,
         classes=det.classes,
         kpts=det.kpts,
-        valid=alive,
+        valid=kept,
     )
-    return out
 
 
 def nms(

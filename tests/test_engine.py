@@ -18,36 +18,29 @@ class FakeBlobDetector(DetectionModel):
         self.model = "fake"
         self.variables = {}
 
-    def forward_tiles(self, tiles, conf_threshold=None):
-        conf = self.confidence_threshold if conf_threshold is None else conf_threshold
-
-        @jax.jit
-        def fwd(tiles):
-            t, s = tiles.shape[0], tiles.shape[1]
-            gray = tiles.mean(axis=-1).reshape(t, -1)
-            idx = jnp.argmax(gray, axis=1)
-            score = jnp.max(gray, axis=1)
-            y = (idx // tiles.shape[2]).astype(jnp.float32)
-            x = (idx % tiles.shape[2]).astype(jnp.float32)
-            r = self.BOX_R
-            boxes = jnp.stack([x - r, y - r, x + r, y + r], axis=-1)
-            cap = 4
-            det = Detections(
-                boxes=jnp.zeros((t, cap, 4)).at[:, 0].set(boxes),
-                scores=jnp.zeros((t, cap)).at[:, 0].set(score),
-                classes=jnp.zeros((t, cap), jnp.int32),
-                kpts=jnp.zeros((t, cap, 5, 3))
-                .at[:, 0, :, 0]
-                .set(x[:, None])
-                .at[:, 0, :, 1]
-                .set(y[:, None])
-                .at[:, 0, :, 2]
-                .set(1.0),
-                valid=jnp.zeros((t, cap), bool).at[:, 0].set(score >= conf),
-            )
-            return det
-
-        return fwd(tiles)
+    def tile_forward(self, variables, tiles, conf_threshold):
+        t = tiles.shape[0]
+        gray = tiles.mean(axis=-1).reshape(t, -1)
+        idx = jnp.argmax(gray, axis=1)
+        score = jnp.max(gray, axis=1)
+        y = (idx // tiles.shape[2]).astype(jnp.float32)
+        x = (idx % tiles.shape[2]).astype(jnp.float32)
+        r = self.BOX_R
+        boxes = jnp.stack([x - r, y - r, x + r, y + r], axis=-1)
+        cap = 4
+        return Detections(
+            boxes=jnp.zeros((t, cap, 4)).at[:, 0].set(boxes),
+            scores=jnp.zeros((t, cap)).at[:, 0].set(score),
+            classes=jnp.zeros((t, cap), jnp.int32),
+            kpts=jnp.zeros((t, cap, 5, 3))
+            .at[:, 0, :, 0]
+            .set(x[:, None])
+            .at[:, 0, :, 1]
+            .set(y[:, None])
+            .at[:, 0, :, 2]
+            .set(1.0),
+            valid=jnp.zeros((t, cap), bool).at[:, 0].set(score >= conf_threshold),
+        )
 
 
 def make_image(h, w, dots):

@@ -76,6 +76,57 @@ def test_invalid_rows_ignored():
     assert int(out.count()) == 1
 
 
+def sequential_greedy_reference(boxes, scores, thr, metric="IOU", merge=False):
+    """Literal sequential greedy NMS/NMM oracle (numpy)."""
+    order = np.argsort(-scores, kind="stable")
+    boxes = boxes[order].astype(float)
+    alive = np.ones(len(scores), bool)
+    kept_rows = []
+    out_boxes = []
+    for i in range(len(scores)):
+        if not alive[i]:
+            continue
+        group = [i]
+        for j in range(i + 1, len(scores)):
+            if not alive[j]:
+                continue
+            b1, b2 = boxes[i], boxes[j]
+            ix = max(0, min(b1[2], b2[2]) - max(b1[0], b2[0]))
+            iy = max(0, min(b1[3], b2[3]) - max(b1[1], b2[1]))
+            inter = ix * iy
+            a1 = (b1[2] - b1[0]) * (b1[3] - b1[1])
+            a2 = (b2[2] - b2[0]) * (b2[3] - b2[1])
+            m = inter / (a1 + a2 - inter) if metric == "IOU" else inter / min(a1, a2)
+            if m > thr:
+                alive[j] = False
+                group.append(j)
+        kept_rows.append(i)
+        g = boxes[group]
+        out_boxes.append(
+            np.concatenate([g[:, :2].min(0), g[:, 2:].max(0)]) if merge else boxes[i]
+        )
+    return np.array(out_boxes), np.sort(scores)[::-1][np.array(kept_rows)]
+
+
+@pytest.mark.parametrize("mode,metric", [("NMS", "IOU"), ("GREEDYNMM", "IOS"), ("NMM", "IOU")])
+def test_differential_vs_sequential_oracle(mode, metric):
+    rng = np.random.default_rng(42)
+    for trial in range(5):
+        n = 40
+        xy = rng.uniform(0, 60, (n, 2))
+        wh = rng.uniform(4, 25, (n, 2))
+        boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+        scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+        thr = 0.4
+        det = Detections.from_arrays(boxes, scores, capacity=n)
+        got = merge_detections(det, mode, metric, thr).to_numpy()
+        want_boxes, want_scores = sequential_greedy_reference(
+            boxes, scores, thr, metric, merge=(mode != "NMS")
+        )
+        np.testing.assert_allclose(got["scores"], want_scores, atol=1e-6)
+        np.testing.assert_allclose(got["boxes"], want_boxes, atol=1e-4)
+
+
 def test_bad_mode_raises():
     d = make([[0, 0, 1, 1]], [0.5])
     with pytest.raises(ValueError):
