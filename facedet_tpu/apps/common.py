@@ -1,0 +1,80 @@
+"""Shared CLI plumbing for the pipeline apps."""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+from facedet_tpu.utils.config import DetectorConfig, EnhancerConfig
+
+
+def build_detector(cfg: DetectorConfig):
+    if cfg.family == "yolov11":
+        from facedet_tpu.engine.detector import YoloV11PoseDetectionModel
+
+        return YoloV11PoseDetectionModel(
+            model_path=cfg.model_path,
+            scale=cfg.scale,
+            dtype=cfg.dtype,
+            confidence_threshold=cfg.confidence_threshold,
+            image_size=cfg.image_size,
+            max_detections_per_tile=cfg.max_detections_per_tile,
+        )
+    if cfg.family == "scrfd":
+        from facedet_tpu.engine.scrfd_wrapper import ScrfdDetectionModel
+
+        return ScrfdDetectionModel(
+            model_path=cfg.model_path,
+            confidence_threshold=cfg.confidence_threshold,
+            image_size=cfg.image_size,
+            dtype=cfg.dtype,
+        )
+    if cfg.family == "rtdetr":
+        from facedet_tpu.engine.rtdetr_wrapper import RtDetrDetectionModel
+
+        return RtDetrDetectionModel(
+            model_path=cfg.model_path,
+            confidence_threshold=cfg.confidence_threshold,
+            image_size=cfg.image_size,
+            dtype=cfg.dtype,
+        )
+    raise ValueError(f"unknown detector family {cfg.family!r}")
+
+
+def build_enhancer(cfg: EnhancerConfig):
+    from facedet_tpu.engine.enhancer import FaceEnhancer
+
+    return FaceEnhancer(
+        model_name=cfg.model_name,
+        model_path=cfg.model_path,
+        outscale=cfg.outscale,
+        tile=cfg.tile,
+        tile_pad=cfg.tile_pad,
+        half=cfg.half,
+    )
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=description)
+    ap.add_argument("--input", default="data/input", help="image file or folder")
+    ap.add_argument("--output", default="data/output")
+    ap.add_argument("--model-path", default=None, help=".npz / .pt checkpoint")
+    ap.add_argument("--family", default="yolov11", choices=["yolov11", "scrfd", "rtdetr"])
+    ap.add_argument("--scale", default="s", help="yolo model scale n/s/m/l/x")
+    ap.add_argument("--conf", type=float, default=0.3)
+    ap.add_argument("--imgsz", type=int, default=640)
+    ap.add_argument("--slice", type=int, default=640)
+    ap.add_argument("--overlap", type=float, default=0.2)
+    ap.add_argument("--config", default=None, help="PipelineConfig json path")
+    return ap
+
+
+def list_inputs(path: str) -> list[str]:
+    exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.lower().endswith(exts)
+    )

@@ -1,0 +1,195 @@
+"""Batch prediction driver over folders / COCO datasets.
+
+Reference: docs sahi/predict.py:385-786 — ``predict()`` walks a source
+(folder / single image / COCO json), runs standard or sliced prediction per
+image, and exports visuals, crops, pickles and COCO predictions into an
+auto-incremented ``runs/predict/exp*`` directory; plus the reading-order
+aggregation helpers ``bbox_sort``/``agg_prediction`` (:348-382) and the
+low-confidence auto-switch to NMS/IOU (:523-528).
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from functools import cmp_to_key
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+LOW_MODEL_CONFIDENCE = 0.1
+IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+__all__ = ["predict", "bbox_sort", "agg_prediction", "increment_path"]
+
+
+def bbox_sort(a, b, thresh: float) -> float:
+    """Reading-order comparator: same row (|dy| <= thresh) sorts by x, else by
+    y (docs sahi/predict.py:348-365)."""
+    if abs(a[1] - b[1]) <= thresh:
+        return a[0] - b[0]
+    return a[1] - b[1]
+
+
+def agg_prediction(result, thresh: float) -> list[dict]:
+    """Re-index COCO annotations in reading order (docs sahi/predict.py:367-382)."""
+    res = result.to_coco_annotations()
+    coords = [tuple(ann["bbox"]) for ann in res]
+    ordered = sorted(coords, key=cmp_to_key(lambda a, b: bbox_sort(a, b, thresh)))
+    for ann in res:
+        ann["image_id"] = ordered.index(tuple(ann["bbox"]))
+    return res
+
+
+def increment_path(path: str, exist_ok: bool = False) -> str:
+    """runs/predict/exp -> exp2, exp3, ... (ultralytics-style)."""
+    p = Path(path)
+    if exist_ok or not p.exists():
+        return str(p)
+    for n in range(2, 10_000):
+        cand = f"{p}{n}"
+        if not os.path.exists(cand):
+            return cand
+    raise RuntimeError("could not increment path")
+
+
+def _list_images(source: str) -> list[str]:
+    src = Path(source)
+    if src.is_file():
+        return [str(src)]
+    return sorted(
+        str(p)
+        for p in src.rglob("*")
+        if p.suffix.lower() in IMAGE_EXTENSIONS
+    )
+
+
+def predict(
+    detection_model=None,
+    source: Optional[str] = None,
+    no_standard_prediction: bool = False,
+    no_sliced_prediction: bool = False,
+    image_size: Optional[int] = None,
+    slice_height: int = 512,
+    slice_width: int = 512,
+    overlap_height_ratio: float = 0.2,
+    overlap_width_ratio: float = 0.2,
+    postprocess_type: str = "GREEDYNMM",
+    postprocess_match_metric: str = "IOS",
+    postprocess_match_threshold: float = 0.5,
+    postprocess_class_agnostic: bool = False,
+    novisual: bool = False,
+    export_pickle: bool = False,
+    export_crop: bool = False,
+    dataset_json_path: Optional[str] = None,
+    project: str = "runs/predict",
+    name: str = "exp",
+    model_confidence_threshold: Optional[float] = None,
+    force_postprocess_type: bool = False,
+    verbose: int = 1,
+    return_dict: bool = True,
+) -> Optional[dict]:
+    """Folder/image/COCO batch driver (docs sahi/predict.py:385)."""
+    from facedet_tpu.engine.predict import get_prediction, get_sliced_prediction
+    from facedet_tpu.utils.viz import (
+        draw_detections_on_image,
+        load_image,
+        save_face_crops,
+        save_image,
+    )
+
+    if no_standard_prediction and no_sliced_prediction:
+        raise ValueError(
+            "'no_standard_prediction' and 'no_sliced_prediction' cannot both be True"
+        )
+    if detection_model is None:
+        raise ValueError("detection_model is required")
+    if model_confidence_threshold is not None:
+        detection_model.confidence_threshold = model_confidence_threshold
+    conf = detection_model.confidence_threshold
+    if not force_postprocess_type and conf < LOW_MODEL_CONFIDENCE and postprocess_type != "NMS":
+        # auto-switch (docs sahi/predict.py:523-528)
+        postprocess_type = "NMS"
+        postprocess_match_metric = "IOU"
+    if image_size is not None:
+        detection_model.image_size = image_size
+
+    save_dir = Path(increment_path(Path(project) / name))
+    crop_dir = save_dir / "crops"
+    visual_dir = save_dir / "visuals"
+    pickle_dir = save_dir / "pickles"
+    exporting = (not novisual) or export_pickle or export_crop or dataset_json_path
+    if exporting:
+        save_dir.mkdir(parents=True, exist_ok=True)
+
+    # source list: folder walk or COCO file_names
+    coco_images = None
+    if dataset_json_path:
+        with open(dataset_json_path) as f:
+            coco_images = json.load(f)["images"]
+        image_paths = [os.path.join(source or "", im["file_name"]) for im in coco_images]
+    else:
+        image_paths = _list_images(source)
+
+    durations = {"prediction": 0.0, "slice": 0.0, "export_files": 0.0}
+    coco_json = []
+    num_images = len(image_paths)
+    for idx, img_path in enumerate(image_paths):
+        image = load_image(img_path)
+        if no_sliced_prediction:
+            result = get_prediction(image, detection_model)
+        else:
+            result = get_sliced_prediction(
+                image,
+                detection_model,
+                slice_height=slice_height,
+                slice_width=slice_width,
+                overlap_height_ratio=overlap_height_ratio,
+                overlap_width_ratio=overlap_width_ratio,
+                perform_standard_pred=not no_standard_prediction,
+                postprocess_type=postprocess_type,
+                postprocess_match_metric=postprocess_match_metric,
+                postprocess_match_threshold=postprocess_match_threshold,
+                postprocess_class_agnostic=postprocess_class_agnostic,
+            )
+        for k in ("prediction", "slice"):
+            durations[k] += result.durations_in_seconds.get(k, 0.0)
+
+        stem = Path(img_path).stem
+        t0 = time.time()
+        if dataset_json_path and coco_images is not None:
+            image_id = coco_images[idx]["id"]
+            coco_json.extend(result.to_coco_predictions(image_id=image_id))
+        if export_crop:
+            save_face_crops(
+                image, result.object_prediction_list, str(crop_dir / stem), prefix=stem
+            )
+        if export_pickle:
+            pickle_dir.mkdir(parents=True, exist_ok=True)
+            with open(pickle_dir / f"{stem}.pickle", "wb") as f:
+                pickle.dump(result.object_prediction_list, f)
+        if not novisual:
+            visual_dir.mkdir(parents=True, exist_ok=True)
+            vis = draw_detections_on_image(image, result.object_prediction_list)
+            save_image(str(visual_dir / f"{stem}.png"), vis)
+        durations["export_files"] += time.time() - t0
+        if verbose:
+            print(
+                f"[{idx + 1}/{num_images}] {stem}: "
+                f"{len(result.object_prediction_list)} detections"
+            )
+
+    if dataset_json_path and exporting:
+        with open(save_dir / "result.json", "w") as f:
+            json.dump(coco_json, f)
+    if verbose and exporting:
+        print(f"Prediction results are successfully exported to {save_dir}")
+    if return_dict:
+        return {
+            "export_dir": str(save_dir),
+            "durations_in_seconds": durations,
+            "num_images": num_images,
+        }
+    return None

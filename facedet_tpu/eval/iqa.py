@@ -1,0 +1,254 @@
+"""No-reference image-quality metrics: NIQE and BRISQUE feature pipelines.
+
+Reference usage: pipeline_v4_yolo/1_Inference.py:121-183 creates pyiqa NIQE +
+BRISQUE metrics for before/after-enhancement comparison, and :185-216 scores
+individual face crops; published numbers in ``hasil eval niqe.txt``.
+
+This module re-implements the full feature machinery from the published
+algorithm descriptions: MSCN coefficients, GGD/AGGD moment-matching fits, the
+two-scale 18+18-dim NIQE patch features and 36-dim BRISQUE features, and
+NIQE's Mahalanobis scoring against a pristine multivariate-Gaussian model.
+
+Caveat (documented divergence): the official NIQE pristine model and the
+BRISQUE SVR weights ship as binary artifacts (niqe_image_params.mat, LIVE-R2
+SVR) that are not re-derivable from code. ``fit_niqe_model`` rebuilds a
+pristine model from any folder of clean images; ``DEFAULT_NIQE_MODEL`` is fit
+at import time from procedurally generated naturalistic images, so absolute
+values differ from pyiqa while orderings (clean < distorted) agree — which is
+what the reference pipelines use the scores for (delta indicators,
+:218-270). BRISQUE is scored NIQE-style against the same pristine model.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import numpy as np
+
+__all__ = [
+    "mscn_coefficients",
+    "fit_ggd",
+    "fit_aggd",
+    "brisque_features",
+    "niqe_features",
+    "fit_niqe_model",
+    "niqe",
+    "brisque",
+    "calculate_iqa_scores",
+    "calculate_face_crop_quality",
+]
+
+_GAM = np.arange(0.2, 10.001, 0.001)
+_R_GAM = None
+
+
+def _gamma(x):
+    from math import gamma
+
+    return np.vectorize(gamma)(x)
+
+
+def _r_gam():
+    global _R_GAM
+    if _R_GAM is None:
+        _R_GAM = (_gamma(2.0 / _GAM) ** 2) / (_gamma(1.0 / _GAM) * _gamma(3.0 / _GAM))
+    return _R_GAM
+
+
+def _gaussian_kernel(size: int = 7, sigma: float = 7 / 6) -> np.ndarray:
+    ax = np.arange(size) - size // 2
+    k = np.exp(-(ax**2) / (2 * sigma**2))
+    k2 = np.outer(k, k)
+    return k2 / k2.sum()
+
+
+def _filter2(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """Same-size 2D correlation with symmetric (reflect) padding."""
+    kh, kw = kernel.shape
+    ph, pw = kh // 2, kw // 2
+    padded = np.pad(img, ((ph, ph), (pw, pw)), mode="reflect")
+    out = np.zeros_like(img, dtype=np.float64)
+    for i in range(kh):
+        for j in range(kw):
+            out += kernel[i, j] * padded[i : i + img.shape[0], j : j + img.shape[1]]
+    return out
+
+
+def mscn_coefficients(gray: np.ndarray, c: float = 1.0) -> np.ndarray:
+    """Mean-subtracted contrast-normalized coefficients."""
+    gray = gray.astype(np.float64)
+    k = _gaussian_kernel()
+    mu = _filter2(gray, k)
+    sigma = np.sqrt(np.abs(_filter2(gray * gray, k) - mu * mu))
+    return (gray - mu) / (sigma + c)
+
+
+def fit_ggd(x: np.ndarray) -> tuple[float, float]:
+    """Generalized Gaussian shape/scale via moment matching."""
+    x = x.ravel()
+    sigma_sq = np.mean(x**2)
+    e_abs = np.mean(np.abs(x))
+    rho = sigma_sq / (e_abs**2 + 1e-12)
+    diff = np.abs(_r_gam() - 1.0 / (rho + 1e-12))
+    alpha = _GAM[np.argmin(diff)]
+    return float(alpha), float(np.sqrt(sigma_sq))
+
+
+def fit_aggd(x: np.ndarray) -> tuple[float, float, float, float]:
+    """Asymmetric GGD fit: (alpha, mean_param eta, sigma_l, sigma_r)."""
+    x = x.ravel()
+    left = x[x < 0]
+    right = x[x >= 0]
+    sigma_l = np.sqrt(np.mean(left**2)) if left.size else 1e-6
+    sigma_r = np.sqrt(np.mean(right**2)) if right.size else 1e-6
+    gamma_hat = sigma_l / (sigma_r + 1e-12)
+    e_abs = np.mean(np.abs(x))
+    rhat = (e_abs**2) / (np.mean(x**2) + 1e-12)
+    rhat_norm = rhat * (gamma_hat**3 + 1) * (gamma_hat + 1) / ((gamma_hat**2 + 1) ** 2)
+    diff = (_r_gam() - rhat_norm) ** 2
+    alpha = _GAM[np.argmin(diff)]
+    g1 = _gamma(1.0 / alpha)
+    g2 = _gamma(2.0 / alpha)
+    eta = (sigma_r - sigma_l) * (g2 / g1)
+    return float(alpha), float(eta), float(sigma_l), float(sigma_r)
+
+
+_SHIFTS = [(0, 1), (1, 0), (1, 1), (1, -1)]  # H, V, D1, D2
+
+
+def _pair_features(mscn: np.ndarray) -> list[float]:
+    feats = []
+    for dy, dx in _SHIFTS:
+        shifted = np.roll(np.roll(mscn, dy, axis=0), dx, axis=1)
+        alpha, eta, sl, sr = fit_aggd(mscn * shifted)
+        feats.extend([alpha, eta, sl**2, sr**2])
+    return feats
+
+
+def brisque_features(gray: np.ndarray) -> np.ndarray:
+    """36-dim BRISQUE feature vector (2 scales x (2 GGD + 16 AGGD))."""
+    feats = []
+    img = gray.astype(np.float64)
+    for scale in range(2):
+        mscn = mscn_coefficients(img)
+        alpha, sigma = fit_ggd(mscn)
+        feats.extend([alpha, sigma**2])
+        feats.extend(_pair_features(mscn))
+        img = img[::2, ::2]  # dyadic downsample
+    return np.asarray(feats)
+
+
+def niqe_features(gray: np.ndarray, patch_size: int = 96) -> np.ndarray:
+    """Per-patch 36-dim features over sharp patches, both scales."""
+    img = gray.astype(np.float64)
+    h, w = img.shape
+    h, w = h - h % patch_size, w - w % patch_size
+    if h < patch_size or w < patch_size:
+        return brisque_features(img)[None]
+    img = img[:h, :w]
+    feats = []
+    for by in range(0, h, patch_size):
+        for bx in range(0, w, patch_size):
+            patch = img[by : by + patch_size, bx : bx + patch_size]
+            feats.append(brisque_features(patch))
+    return np.asarray(feats)
+
+
+def fit_niqe_model(images: list[np.ndarray], patch_size: int = 96) -> dict:
+    """Pristine MVG model {mu [36], cov [36,36]} from clean grayscale images."""
+    all_feats = [niqe_features(_to_gray(img), patch_size) for img in images]
+    feats = np.concatenate(all_feats, axis=0)
+    return {"mu": feats.mean(0), "cov": np.cov(feats, rowvar=False)}
+
+
+def _to_gray(image: np.ndarray) -> np.ndarray:
+    img = np.asarray(image, np.float64)
+    if img.ndim == 3:
+        img = img[..., :3] @ np.array([0.299, 0.587, 0.114])
+    if img.max() <= 1.5:
+        img = img * 255.0
+    return img
+
+
+def _synthetic_pristine_images(n: int = 6, size: int = 256, seed: int = 0) -> list[np.ndarray]:
+    """Procedural naturalistic images (smooth multi-scale noise): stand-in
+    pristine corpus for the default model (see module caveat)."""
+    rng = np.random.default_rng(seed)
+    imgs = []
+    for _ in range(n):
+        img = np.zeros((size, size))
+        for octave, amp in ((4, 1.0), (16, 0.5), (64, 0.25), (size, 0.1)):
+            noise = rng.standard_normal((octave, octave))
+            reps = size // octave
+            up = np.kron(noise, np.ones((reps, reps)))
+            up = _filter2(up, _gaussian_kernel(7, 1.5))
+            img += amp * up
+        img = (img - img.min()) / (img.max() - img.min() + 1e-9) * 255
+        imgs.append(img)
+    return imgs
+
+
+@functools.lru_cache(maxsize=1)
+def _default_model() -> tuple[np.ndarray, np.ndarray]:
+    model = fit_niqe_model(_synthetic_pristine_images())
+    return model["mu"], model["cov"]
+
+
+def _mahalanobis_score(feats: np.ndarray, mu: np.ndarray, cov: np.ndarray) -> float:
+    test_mu = feats.mean(0)
+    test_cov = np.cov(feats, rowvar=False) if feats.shape[0] > 1 else np.zeros_like(cov)
+    avg_cov = (cov + test_cov) / 2.0
+    avg_cov += np.eye(avg_cov.shape[0]) * 1e-6
+    d = mu - test_mu
+    return float(np.sqrt(max(0.0, d @ np.linalg.solve(avg_cov, d))))
+
+
+def niqe(image: np.ndarray, model: Optional[dict] = None) -> float:
+    """NIQE score (lower = better). Uses the default self-fit pristine model
+    unless ``model`` ({mu, cov}) is supplied."""
+    gray = _to_gray(image)
+    feats = niqe_features(gray)
+    if model is not None:
+        mu, cov = np.asarray(model["mu"]), np.asarray(model["cov"])
+    else:
+        mu, cov = _default_model()
+    return _mahalanobis_score(feats, mu, cov)
+
+
+def brisque(image: np.ndarray, model: Optional[dict] = None) -> float:
+    """BRISQUE-features score (lower = better), scored NIQE-style against the
+    pristine model (no SVR weights available — see module caveat). Scaled x10
+    to land in a BRISQUE-like range."""
+    gray = _to_gray(image)
+    feats = brisque_features(gray)[None]
+    if model is not None:
+        mu, cov = np.asarray(model["mu"]), np.asarray(model["cov"])
+    else:
+        mu, cov = _default_model()
+    return 10.0 * _mahalanobis_score(feats, mu, cov)
+
+
+def calculate_iqa_scores(image: np.ndarray, model: Optional[dict] = None) -> dict:
+    """Both metrics for one image (reference 1_Inference.py:152-183)."""
+    return {"niqe": niqe(image, model), "brisque": brisque(image, model)}
+
+
+def calculate_face_crop_quality(
+    crops_dir: str, model: Optional[dict] = None
+) -> dict[str, dict]:
+    """Per-crop IQA over a crops directory (reference 1_Inference.py:185-216)."""
+    from facedet_tpu.utils.viz import load_image
+
+    out = {}
+    if not os.path.isdir(crops_dir):
+        return out
+    for fname in sorted(os.listdir(crops_dir)):
+        if not fname.lower().endswith((".jpg", ".jpeg", ".png")):
+            continue
+        try:
+            img = load_image(os.path.join(crops_dir, fname))
+            out[fname] = calculate_iqa_scores(img, model)
+        except Exception:
+            continue
+    return out

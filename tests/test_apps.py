@@ -1,0 +1,182 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from facedet_tpu.engine.enhancer import FaceEnhancer
+from facedet_tpu.engine.fake import FakeBlobDetectionModel
+from facedet_tpu.models.rrdbnet import RRDBConfig
+from facedet_tpu.utils.viz import save_image
+
+TINY_SR = RRDBConfig(num_feat=8, num_block=1, num_grow_ch=4, scale=4)
+
+
+def make_image(h, w, dots):
+    img = np.zeros((h, w, 3), np.uint8)
+    for y, x in dots:
+        img[y - 1 : y + 2, x - 1 : x + 2] = 255
+    return img
+
+
+@pytest.fixture()
+def input_dir(tmp_path):
+    d = tmp_path / "input"
+    d.mkdir()
+    save_image(str(d / "one.jpg"), make_image(100, 120, [(30, 40)]))
+    save_image(str(d / "two.jpg"), make_image(90, 100, [(20, 30), (70, 80)]))
+    return d
+
+
+def test_app_yolo_sahi_batch(input_dir, tmp_path, monkeypatch):
+    from facedet_tpu.apps import app_yolo_sahi
+
+    model = FakeBlobDetectionModel(confidence_threshold=0.5)
+    out_root = tmp_path / "out"
+    s = app_yolo_sahi.process_single_image(
+        str(input_dir / "two.jpg"), model, str(out_root), slice_size=64, overlap=0.25
+    )
+    assert s["faces"] == 2
+    d = out_root / "two"
+    assert (d / "two_detections.jpg").exists()
+    assert (d / "two_summary.txt").exists()
+    assert len(list((d / "crops").iterdir())) == 2
+
+
+def test_detect_first_pipeline_with_enhancer(tmp_path):
+    from facedet_tpu.engine.pipelines import detect_first_pipeline
+
+    model = FakeBlobDetectionModel(confidence_threshold=0.5)
+    enh = FaceEnhancer(cfg=TINY_SR, outscale=4, tile=0, half=False)
+    img = make_image(100, 120, [(30, 40), (70, 90)])
+    result, stats = detect_first_pipeline(
+        img,
+        model,
+        enhancer=enh,
+        slice_policy="half_image",
+        crops_dir=str(tmp_path / "crops"),
+    )
+    assert len(result.object_prediction_list) == 2
+    assert stats["enhanced"] == 2 and stats["failed"] == 0
+    enhanced_files = os.listdir(tmp_path / "crops_enhanced")
+    assert len(enhanced_files) == 2
+
+
+def test_enhance_first_pipeline_rescales(tmp_path):
+    from facedet_tpu.engine.pipelines import enhance_first_pipeline
+
+    model = FakeBlobDetectionModel(confidence_threshold=0.4)
+    enh = FaceEnhancer(cfg=TINY_SR, outscale=4, tile=0, half=False)
+    img = make_image(60, 80, [(30, 40)])
+    result = enhance_first_pipeline(
+        img, model, enh, slice_policy="fixed", outscale=4
+    )
+    assert result.enhanced_image.shape == (240, 320, 3)
+    preds = result.object_prediction_list
+    assert preds, "no detections"
+    # boxes are back in ORIGINAL coordinates
+    p = preds[0]
+    assert 0 <= p.bbox.minx <= 80 and 0 <= p.bbox.maxy <= 60
+
+
+def test_batch_predict_driver(input_dir, tmp_path):
+    from facedet_tpu.engine.batch_predict import predict
+
+    model = FakeBlobDetectionModel(confidence_threshold=0.5)
+    out = predict(
+        detection_model=model,
+        source=str(input_dir),
+        slice_height=64,
+        slice_width=64,
+        export_crop=True,
+        export_pickle=True,
+        project=str(tmp_path / "runs"),
+        name="exp",
+        verbose=0,
+    )
+    d = out["export_dir"]
+    assert out["num_images"] == 2
+    assert os.path.isdir(os.path.join(d, "visuals"))
+    assert os.path.isdir(os.path.join(d, "pickles"))
+    # increment_path: second run -> exp2
+    out2 = predict(
+        detection_model=model,
+        source=str(input_dir / "one.jpg"),
+        slice_height=64,
+        slice_width=64,
+        novisual=True,
+        export_pickle=True,
+        project=str(tmp_path / "runs"),
+        name="exp",
+        verbose=0,
+    )
+    assert out2["export_dir"].endswith("exp2")
+
+
+def test_batch_predict_auto_nms_switch(input_dir, tmp_path):
+    from facedet_tpu.engine import batch_predict
+
+    model = FakeBlobDetectionModel(confidence_threshold=0.05)
+    out = batch_predict.predict(
+        detection_model=model,
+        source=str(input_dir / "one.jpg"),
+        slice_height=64,
+        slice_width=64,
+        novisual=True,
+        project=str(tmp_path / "runs"),
+        verbose=0,
+    )
+    assert out["num_images"] == 1
+
+
+def test_bbox_sort_reading_order():
+    from facedet_tpu.engine.batch_predict import bbox_sort
+    from functools import cmp_to_key
+
+    boxes = [(50, 10, 5, 5), (10, 12, 5, 5), (10, 100, 5, 5)]
+    ordered = sorted(boxes, key=cmp_to_key(lambda a, b: bbox_sort(a, b, 10)))
+    assert ordered == [(10, 12, 5, 5), (50, 10, 5, 5), (10, 100, 5, 5)]
+
+
+def test_streamlit_process_single_image(tmp_path):
+    from facedet_tpu.apps.streamlit_app import process_single_image
+
+    model = FakeBlobDetectionModel(confidence_threshold=0.5, image_size=64)
+    img = make_image(100, 120, [(30, 40)])
+    out = process_single_image(
+        img,
+        model,
+        enable_sahi=True,
+        confidence=0.5,
+        output_dir=str(tmp_path),
+        with_iqa=False,
+    )
+    assert out["num_faces"] == 1
+    assert out["annotated"].shape == img.shape
+    assert len(out["crop_paths"]) == 1
+
+
+def test_tuning_grid_search(tmp_path):
+    from facedet_tpu.eval.tuning import grid_configs, run_grid_search
+
+    assert len(grid_configs("quick")) == 4
+    assert len(grid_configs("comprehensive")) == 4 * 4 * 2 * 2 * 3
+
+    img = make_image(100, 120, [(30, 40)])
+    dataset = [
+        {"file_name": "a.jpg", "image_id": 1, "gt": [[35, 25, 10, 10]]},
+    ]
+    model = FakeBlobDetectionModel(confidence_threshold=0.5)
+    out = run_grid_search(
+        model,
+        dataset,
+        image_loader=lambda _: img,
+        grid_name="quick",
+        output_dir=str(tmp_path),
+    )
+    assert len(out["results"]) == 4
+    assert (tmp_path / "best_sahi_config.json").exists()
+    best = json.load(open(tmp_path / "best_sahi_config.json"))
+    assert set(best) == {"slice_size", "overlap", "postprocess", "metric", "threshold"}
+    # fake detector's 10px box vs 10px GT IoU ~ high at 0.5 -> perfect AP at 0.5
+    assert out["best"]["map50"] == pytest.approx(1.0)

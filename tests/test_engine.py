@@ -2,45 +2,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from facedet_tpu.core.detections import Detections
-from facedet_tpu.engine.detector import DetectionModel
+from facedet_tpu.engine.fake import FakeBlobDetectionModel as FakeBlobDetector
 from facedet_tpu.engine.predict import get_prediction, get_sliced_prediction
-
-
-class FakeBlobDetector(DetectionModel):
-    """Deterministic synthetic backend: one detection per tile at the
-    brightest pixel, score = brightness. Lets the slicing engine be tested
-    without model weights (SURVEY.md §4 rebuild implication)."""
-
-    BOX_R = 5.0
-
-    def load_model(self):
-        self.model = "fake"
-        self.variables = {}
-
-    def tile_forward(self, variables, tiles, conf_threshold):
-        t = tiles.shape[0]
-        gray = tiles.mean(axis=-1).reshape(t, -1)
-        idx = jnp.argmax(gray, axis=1)
-        score = jnp.max(gray, axis=1)
-        y = (idx // tiles.shape[2]).astype(jnp.float32)
-        x = (idx % tiles.shape[2]).astype(jnp.float32)
-        r = self.BOX_R
-        boxes = jnp.stack([x - r, y - r, x + r, y + r], axis=-1)
-        cap = 4
-        return Detections(
-            boxes=jnp.zeros((t, cap, 4)).at[:, 0].set(boxes),
-            scores=jnp.zeros((t, cap)).at[:, 0].set(score),
-            classes=jnp.zeros((t, cap), jnp.int32),
-            kpts=jnp.zeros((t, cap, 5, 3))
-            .at[:, 0, :, 0]
-            .set(x[:, None])
-            .at[:, 0, :, 1]
-            .set(y[:, None])
-            .at[:, 0, :, 2]
-            .set(1.0),
-            valid=jnp.zeros((t, cap), bool).at[:, 0].set(score >= conf_threshold),
-        )
 
 
 def make_image(h, w, dots):
