@@ -1,0 +1,253 @@
+"""RT-DETR training: Hungarian matching, DETR losses, optax trainer, and the
+convert -> train -> validate flow of the reference's pipeline v3.
+
+Reference: pipeline_v3_RTDETR/train_rtdetr.py — WIDERFACE->YOLO conversion
+(:12-83, ours in data/widerface.py), dataset yaml (:85-101), ultralytics
+``model.train`` with AdamW lr 1e-4 / batch 8 / imgsz 640 / 50 epochs /
+patience 10 / save_period 5 (:180-218), ``validate_model`` via mAP (:228-241).
+
+TPU-native: the training step is a pure jitted function; Hungarian assignment
+runs through ``jax.pure_callback`` into scipy (static [Q, M] costs, padded
+GT), the standard approach since the O(QM) assignment is host-trivial next to
+the device forward/backward.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from facedet_tpu.models.rtdetr import RtDetr, RtDetrConfig
+
+__all__ = [
+    "hungarian_match",
+    "rtdetr_loss",
+    "make_rtdetr_train_step",
+    "RtDetrTrainer",
+]
+
+
+def _hungarian_host(cost: np.ndarray) -> np.ndarray:
+    """cost [Q, M] -> assignment [M] (query index per GT slot; -1 invalid)."""
+    from scipy.optimize import linear_sum_assignment
+
+    q, m = cost.shape
+    rows, cols = linear_sum_assignment(cost)
+    out = np.full((m,), -1, np.int32)
+    out[cols] = rows.astype(np.int32)
+    return out
+
+
+def hungarian_match(cost: jax.Array) -> jax.Array:
+    """Batched [B, Q, M] cost -> [B, M] assigned query index per GT."""
+
+    def one(c):
+        return jax.pure_callback(
+            _hungarian_host,
+            jax.ShapeDtypeStruct((c.shape[1],), jnp.int32),
+            c,
+            vmap_method="sequential",
+        )
+
+    return jax.vmap(one)(cost)
+
+
+def _cxcywh_to_xyxy(b):
+    cx, cy, w, h = jnp.split(b, 4, -1)
+    return jnp.concatenate([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+
+def _giou(a, b, eps=1e-7):
+    """Generalized IoU between xyxy box sets of equal shape [..., 4]."""
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = jnp.clip(a[..., 2] - a[..., 0], 0) * jnp.clip(a[..., 3] - a[..., 1], 0)
+    area_b = jnp.clip(b[..., 2] - b[..., 0], 0) * jnp.clip(b[..., 3] - b[..., 1], 0)
+    union = area_a + area_b - inter
+    iou = inter / (union + eps)
+    elt = jnp.minimum(a[..., :2], b[..., :2])
+    erb = jnp.maximum(a[..., 2:], b[..., 2:])
+    ewh = jnp.clip(erb - elt, 0.0)
+    enclose = ewh[..., 0] * ewh[..., 1]
+    return iou - (enclose - union) / (enclose + eps)
+
+
+def _layer_loss(logits, boxes, gt_boxes, gt_mask, cls_weight, box_weight, giou_weight):
+    """One decoder layer's matched loss. gt_boxes cxcywh normalized [B,M,4]."""
+    b, q, nc = logits.shape
+    m = gt_boxes.shape[1]
+    prob = jax.nn.sigmoid(logits)
+
+    # cost matrix [B, Q, M]
+    cost_cls = -prob[..., 0:1]  # single class: negative prob
+    l1 = jnp.sum(jnp.abs(boxes[:, :, None, :] - gt_boxes[:, None, :, :]), -1)
+    giou = _giou(
+        _cxcywh_to_xyxy(boxes)[:, :, None, :], _cxcywh_to_xyxy(gt_boxes)[:, None, :, :]
+    )
+    cost = cost_cls * 2.0 + l1 * 5.0 - giou * 2.0
+    cost = jnp.where(gt_mask[:, None, :], cost, 1e6)
+    assign = hungarian_match(jax.lax.stop_gradient(cost))  # [B, M]
+
+    valid = gt_mask & (assign >= 0)
+    a_safe = jnp.maximum(assign, 0)
+    sel_boxes = jnp.take_along_axis(boxes, a_safe[..., None].repeat(4, -1), axis=1)
+    l1_loss = jnp.sum(
+        jnp.sum(jnp.abs(sel_boxes - gt_boxes), -1) * valid
+    ) / jnp.maximum(valid.sum(), 1)
+    giou_loss = jnp.sum(
+        (1.0 - _giou(_cxcywh_to_xyxy(sel_boxes), _cxcywh_to_xyxy(gt_boxes))) * valid
+    ) / jnp.maximum(valid.sum(), 1)
+
+    # classification: matched queries -> 1, rest -> 0 (sigmoid focal)
+    tgt = jnp.zeros((b, q))
+    tgt = jax.vmap(lambda t, a, v: t.at[a].max(v.astype(jnp.float32)))(tgt, a_safe, valid)
+    p = prob[..., 0]
+    alpha, gamma = 0.25, 2.0
+    ce = -(tgt * jnp.log(p + 1e-8) + (1 - tgt) * jnp.log(1 - p + 1e-8))
+    pt = tgt * p + (1 - tgt) * (1 - p)
+    focal = ce * ((1 - pt) ** gamma) * (tgt * alpha + (1 - tgt) * (1 - alpha))
+    cls_loss = focal.sum() / jnp.maximum(valid.sum(), 1)
+
+    return cls_weight * cls_loss + box_weight * l1_loss + giou_weight * giou_loss, {
+        "cls": cls_loss,
+        "l1": l1_loss,
+        "giou": giou_loss,
+    }
+
+
+def rtdetr_loss(
+    outputs: dict,
+    gt_boxes: jax.Array,  # [B, M, 4] cxcywh NORMALIZED to [0,1]
+    gt_mask: jax.Array,  # [B, M]
+    cls_weight: float = 1.0,
+    box_weight: float = 5.0,
+    giou_weight: float = 2.0,
+) -> tuple[jax.Array, dict]:
+    """Sum of per-decoder-layer matched losses (DETR aux-loss scheme)."""
+    total = 0.0
+    parts = {}
+    for li, (logits, boxes) in enumerate(zip(outputs["logits"], outputs["boxes"])):
+        ll, p = _layer_loss(
+            logits, boxes, gt_boxes, gt_mask, cls_weight, box_weight, giou_weight
+        )
+        total = total + ll
+        if li == len(outputs["logits"]) - 1:
+            parts = p
+    return total / len(outputs["logits"]), parts
+
+
+def make_rtdetr_train_step(model: RtDetr, tx: optax.GradientTransformation):
+    def loss_fn(params, batch_stats, images, gt_boxes, gt_mask):
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        total, parts = rtdetr_loss(outs, gt_boxes, gt_mask)
+        return total, (parts, mutated["batch_stats"])
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, images, gt_boxes, gt_mask):
+        (loss, (parts, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, images, gt_boxes, gt_mask
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, loss, parts
+
+    return step
+
+
+class RtDetrTrainer:
+    """Training driver with the reference's checkpoint policy:
+    best.pt/last.pt-style saves, save_period, patience early stop
+    (train_rtdetr.py:211-224) — checkpoints as .npz + results.csv rollup
+    consumable by the check_best_pt tool."""
+
+    def __init__(
+        self,
+        cfg: RtDetrConfig,
+        lr: float = 1e-4,
+        weight_decay: float = 1e-4,
+        output_dir: str = "runs/rtdetr",
+        patience: int = 10,
+        save_period: int = 5,
+        image_size: int = 640,
+        seed: int = 0,
+    ):
+        from facedet_tpu.models.rtdetr import create_rtdetr
+
+        self.cfg = cfg
+        self.image_size = image_size
+        self.model, variables = create_rtdetr(cfg, jax.random.PRNGKey(seed), image_size)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(0.1),
+            optax.adamw(lr, weight_decay=weight_decay),
+        )
+        self.opt_state = self.tx.init(self.params)
+        self.step_fn = make_rtdetr_train_step(self.model, self.tx)
+        self.output_dir = output_dir
+        self.patience = patience
+        self.save_period = save_period
+        self.history: list[dict] = []
+        self.best_loss = float("inf")
+        self.epochs_without_improvement = 0
+
+    def save_checkpoint(self, name: str):
+        from facedet_tpu.engine.detector import save_params_npz
+
+        os.makedirs(self.output_dir, exist_ok=True)
+        save_params_npz(
+            os.path.join(self.output_dir, f"{name}.npz"),
+            {"params": self.params, "batch_stats": self.batch_stats},
+        )
+
+    def train_epoch(self, batches: Iterable[tuple]) -> float:
+        losses = []
+        for images, gt_boxes, gt_mask in batches:
+            self.params, self.batch_stats, self.opt_state, loss, parts = self.step_fn(
+                self.params, self.batch_stats, self.opt_state, images, gt_boxes, gt_mask
+            )
+            losses.append(float(loss))
+        return float(np.mean(losses)) if losses else 0.0
+
+    def fit(self, epoch_batches, num_epochs: int = 50, verbose: bool = True) -> dict:
+        """epoch_batches: callable(epoch) -> iterable of (images, boxes, mask)."""
+        for epoch in range(num_epochs):
+            mean_loss = self.train_epoch(epoch_batches(epoch))
+            self.history.append({"epoch": epoch, "train_loss": mean_loss})
+            if verbose:
+                print(f"epoch {epoch}: loss {mean_loss:.4f}")
+            self.save_checkpoint("last")
+            if self.save_period and (epoch + 1) % self.save_period == 0:
+                self.save_checkpoint(f"epoch{epoch + 1}")
+            if mean_loss < self.best_loss - 1e-6:
+                self.best_loss = mean_loss
+                self.epochs_without_improvement = 0
+                self.save_checkpoint("best")
+            else:
+                self.epochs_without_improvement += 1
+                if self.epochs_without_improvement >= self.patience:
+                    if verbose:
+                        print(f"early stop at epoch {epoch} (patience {self.patience})")
+                    break
+        os.makedirs(self.output_dir, exist_ok=True)
+        with open(os.path.join(self.output_dir, "results.json"), "w") as f:
+            json.dump(self.history, f, indent=2)
+        # results.csv for the check_best_pt-style rollup
+        with open(os.path.join(self.output_dir, "results.csv"), "w") as f:
+            f.write("epoch,train_loss\n")
+            for h in self.history:
+                f.write(f"{h['epoch']},{h['train_loss']:.6f}\n")
+        return {"best_loss": self.best_loss, "epochs": len(self.history)}
