@@ -1,0 +1,187 @@
+"""YOLOv11 training driver + YOLO-format dataset loader.
+
+Completes the training story of the reference (its YOLO-pose checkpoints in
+``hasil training.txt`` were trained through the same closed ultralytics
+trainer as pipeline v3): loads YOLO-format label dirs (the output of
+data/widerface.convert_widerface_to_yolo), builds static padded batches, and
+drives train/yolo_train.make_train_step with the reference's checkpoint policy
+(best/last, save_period, patience — train_rtdetr.py:211-224).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from facedet_tpu.models.yolov11 import YoloConfig, YoloV11
+from facedet_tpu.train.yolo_train import make_optimizer, make_train_step
+
+__all__ = ["YoloDataset", "YoloTrainer"]
+
+
+class YoloDataset:
+    """images dir + YOLO labels dir -> static [B, S, S, 3] batches with padded
+    GT ([B, M, 4] xyxy px + mask). Labels: 'cls cx cy w h' normalized."""
+
+    def __init__(
+        self,
+        images_dir: str,
+        labels_dir: str,
+        image_size: int = 640,
+        max_boxes: int = 64,
+        augment: bool = False,
+        seed: int = 0,
+    ):
+        self.images_dir = images_dir
+        self.labels_dir = labels_dir
+        self.image_size = image_size
+        self.max_boxes = max_boxes
+        self.augment = augment
+        self.rng = np.random.default_rng(seed)
+        exts = (".jpg", ".jpeg", ".png", ".bmp")
+        self.items = sorted(
+            f for f in os.listdir(images_dir) if f.lower().endswith(exts)
+        )
+
+    def __len__(self):
+        return len(self.items)
+
+    def _load(self, fname: str):
+        from facedet_tpu.utils.viz import load_image
+
+        img = load_image(os.path.join(self.images_dir, fname)).astype(np.float32) / 255.0
+        h, w = img.shape[:2]
+        s = self.image_size
+        # plain resize to square (trainer-side; letterbox preserved for inference)
+        import jax.image
+
+        imgr = np.asarray(jax.image.resize(jnp.asarray(img), (s, s, 3), "bilinear"))
+        label_path = os.path.join(
+            self.labels_dir, os.path.splitext(fname)[0] + ".txt"
+        )
+        boxes = np.zeros((self.max_boxes, 4), np.float32)
+        mask = np.zeros((self.max_boxes,), bool)
+        if os.path.exists(label_path):
+            with open(label_path) as f:
+                rows = [ln.split() for ln in f if ln.strip()]
+            for i, row in enumerate(rows[: self.max_boxes]):
+                _, cx, cy, bw, bh = (float(v) for v in row[:5])
+                boxes[i] = [
+                    (cx - bw / 2) * s,
+                    (cy - bh / 2) * s,
+                    (cx + bw / 2) * s,
+                    (cy + bh / 2) * s,
+                ]
+                mask[i] = True
+        if self.augment and self.rng.random() < 0.5:  # horizontal flip
+            imgr = imgr[:, ::-1].copy()
+            x1 = boxes[:, 0].copy()
+            boxes[:, 0] = s - boxes[:, 2]
+            boxes[:, 2] = s - x1
+        return imgr, boxes, mask
+
+    def batches(self, batch_size: int, shuffle: bool = True) -> Iterator[tuple]:
+        order = np.arange(len(self.items))
+        if shuffle:
+            self.rng.shuffle(order)
+        # drop remainder: static batch shapes
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            chunk = [self._load(self.items[i]) for i in order[start : start + batch_size]]
+            imgs, boxes, masks = (np.stack([c[j] for c in chunk]) for j in range(3))
+            kpts = np.zeros((batch_size, self.max_boxes, 5, 3), np.float32)
+            yield (
+                jnp.asarray(imgs),
+                jnp.asarray(boxes),
+                jnp.asarray(masks),
+                jnp.asarray(kpts),
+            )
+
+
+class YoloTrainer:
+    """Explicit-training equivalent of the reference's ultralytics driver."""
+
+    def __init__(
+        self,
+        cfg: YoloConfig,
+        lr: float = 1e-4,
+        weight_decay: float = 5e-4,
+        output_dir: str = "runs/yolo",
+        patience: int = 10,
+        save_period: int = 5,
+        image_size: int = 640,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.model = YoloV11(cfg)
+        variables = self.model.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, image_size, image_size, 3)),
+            train=False,
+        )
+        self.params = variables["params"]
+        self.batch_stats = variables["batch_stats"]
+        self.tx = make_optimizer(lr=lr, weight_decay=weight_decay)
+        self.opt_state = self.tx.init(self.params)
+        self.step_fn = make_train_step(self.model, self.tx)
+        self.output_dir = output_dir
+        self.patience = patience
+        self.save_period = save_period
+        self.image_size = image_size
+        self.history: list[dict] = []
+        self.best_loss = float("inf")
+        self._stale = 0
+
+    def save_checkpoint(self, name: str):
+        from facedet_tpu.engine.detector import save_params_npz
+
+        os.makedirs(self.output_dir, exist_ok=True)
+        save_params_npz(
+            os.path.join(self.output_dir, f"{name}.npz"),
+            {"params": self.params, "batch_stats": self.batch_stats},
+        )
+
+    def fit(self, epoch_batches, num_epochs: int = 50, verbose: bool = True) -> dict:
+        for epoch in range(num_epochs):
+            losses = []
+            for images, boxes, mask, kpts in epoch_batches(epoch):
+                (
+                    self.params,
+                    self.batch_stats,
+                    self.opt_state,
+                    loss,
+                    _parts,
+                ) = self.step_fn(
+                    self.params, self.batch_stats, self.opt_state, images, boxes, mask, kpts
+                )
+                losses.append(float(loss))
+            mean_loss = float(np.mean(losses)) if losses else 0.0
+            self.history.append({"epoch": epoch, "train_loss": mean_loss})
+            if verbose:
+                print(f"epoch {epoch}: loss {mean_loss:.4f}")
+            self.save_checkpoint("last")
+            if self.save_period and (epoch + 1) % self.save_period == 0:
+                self.save_checkpoint(f"epoch{epoch + 1}")
+            if mean_loss < self.best_loss - 1e-6:
+                self.best_loss = mean_loss
+                self._stale = 0
+                self.save_checkpoint("best")
+            else:
+                self._stale += 1
+                if self._stale >= self.patience:
+                    break
+        os.makedirs(self.output_dir, exist_ok=True)
+        with open(os.path.join(self.output_dir, "results.csv"), "w") as f:
+            f.write("epoch,train_loss\n")
+            for h in self.history:
+                f.write(f"{h['epoch']},{h['train_loss']:.6f}\n")
+        with open(os.path.join(self.output_dir, "config.json"), "w") as f:
+            json.dump(
+                {"scale": self.cfg.scale, "imgsz": self.image_size, "epochs": len(self.history)},
+                f,
+            )
+        return {"best_loss": self.best_loss, "epochs": len(self.history)}
