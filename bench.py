@@ -44,32 +44,40 @@ def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2):
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
 
-    def one(i):
-        return get_sliced_prediction(
-            img,
-            model,
-            slice_height=640,
-            slice_width=640,
-            overlap_height_ratio=0.2,
-            overlap_width_ratio=0.2,
-            perform_standard_pred=True,
-            postprocess_type="GREEDYNMM",
-            postprocess_match_metric="IOS",
-            postprocess_match_threshold=0.5,
-            postprocess_class_agnostic=True,
-        )
+    cfg = dict(
+        slice_height=640,
+        slice_width=640,
+        overlap_height_ratio=0.2,
+        overlap_width_ratio=0.2,
+        perform_standard_pred=True,
+        postprocess_type="GREEDYNMM",
+        postprocess_match_metric="IOS",
+        postprocess_match_threshold=0.5,
+        postprocess_class_agnostic=True,
+    )
 
+    def one(i):
+        return get_sliced_prediction(img, model, **cfg)
+
+    # latency: synchronous per-image path
     for i in range(warmup):
         one(i)
     lat = []
-    t_start = time.perf_counter()
-    for i in range(num_images):
+    for i in range(max(4, num_images // 2)):
         t0 = time.perf_counter()
         one(i)
         lat.append(time.perf_counter() - t0)
-    elapsed = time.perf_counter() - t_start
-    ips = num_images / elapsed
     p50 = sorted(lat)[len(lat) // 2]
+
+    # throughput: pipelined stream (uploads/fetches overlap device compute)
+    from facedet_tpu.engine.predict import predict_stream
+
+    t_start = time.perf_counter()
+    n_done = sum(
+        1 for _ in predict_stream((img for _ in range(num_images)), model, window=4, **cfg)
+    )
+    elapsed = time.perf_counter() - t_start
+    ips = n_done / elapsed
     return ips, p50
 
 

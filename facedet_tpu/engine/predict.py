@@ -40,7 +40,12 @@ from facedet_tpu.ops.tiler import (
     pad_image,
 )
 
-__all__ = ["get_prediction", "get_sliced_prediction", "POSTPROCESS_DEFAULTS"]
+__all__ = [
+    "get_prediction",
+    "get_sliced_prediction",
+    "predict_stream",
+    "POSTPROCESS_DEFAULTS",
+]
 
 POSTPROCESS_DEFAULTS = {
     "postprocess_type": "GREEDYNMM",
@@ -170,6 +175,141 @@ def _prepare_image(image) -> np.ndarray:
     return img
 
 
+def _dispatch_sliced(
+    img: np.ndarray,
+    detection_model: DetectionModel,
+    slice_height,
+    slice_width,
+    overlap_height_ratio,
+    overlap_width_ratio,
+    perform_standard_pred,
+    postprocess_type,
+    postprocess_match_metric,
+    postprocess_match_threshold,
+    postprocess_class_agnostic,
+    auto_slice_resolution,
+    merge_capacity,
+    use_pallas_gather,
+):
+    """Asynchronously dispatch the fused sliced pipeline for one image.
+
+    Returns (device Detections [not yet fetched], grid, tile bucket,
+    durations dict) — callers overlap several in-flight images
+    (predict_stream) before blocking on device_get."""
+    h, w = img.shape[:2]
+    durations: dict[str, float] = {}
+    t0 = time.perf_counter()
+    if slice_height is None or slice_width is None:
+        if not auto_slice_resolution:
+            raise ValueError("slice size required when auto_slice_resolution=False")
+        s = adaptive_slice_size(h, w)
+        slice_height = slice_height or s
+        slice_width = slice_width or s
+    grid = compute_slice_grid(
+        h, w, slice_height, slice_width, overlap_height_ratio, overlap_width_ratio
+    )
+    t_bucket = bucket_tile_count(grid.num_tiles)
+    offsets, tile_valid = pad_grid_offsets(grid, t_bucket)
+    durations["slice"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    img_size = int(detection_model.image_size or max(slice_height, slice_width))
+    key = (
+        h,
+        w,
+        slice_height,
+        slice_width,
+        grid.padded_h,
+        grid.padded_w,
+        bool(perform_standard_pred),
+        float(detection_model.confidence_threshold),
+        postprocess_type.upper(),
+        postprocess_match_metric.upper(),
+        float(postprocess_match_threshold),
+        bool(postprocess_class_agnostic),
+        int(merge_capacity),
+        img_size,
+        bool(use_pallas_gather),
+    )
+    fused = _get_fused_pipeline(detection_model, key)
+    img_dev = jnp.asarray(img)
+    device = getattr(img_dev, "devices", lambda: None)()
+    if device:  # keep aux inputs on the image's (possibly non-default) device
+        dev = next(iter(device))
+        offsets_dev = jax.device_put(jnp.asarray(offsets), dev)
+        tile_valid_dev = jax.device_put(jnp.asarray(tile_valid), dev)
+    else:
+        offsets_dev = jnp.asarray(offsets)
+        tile_valid_dev = jnp.asarray(tile_valid)
+    merged_dev = fused(
+        detection_model.variables,
+        img_dev,
+        offsets_dev,
+        tile_valid_dev,
+    )
+    durations["prediction"] = time.perf_counter() - t0
+    return merged_dev, grid, t_bucket, durations
+
+
+def predict_stream(
+    images,
+    detection_model: DetectionModel,
+    window: int = 3,
+    raw: bool = False,
+    **sliced_kwargs,
+):
+    """Pipelined sliced prediction over an image stream.
+
+    Keeps up to ``window`` images in flight: the next images' uploads and
+    device compute overlap the current image's result fetch — the
+    throughput-oriented analog of the reference's serial eval loop
+    (eval/eval_official_widerface.py:254-278). Yields ``PredictionResult``
+    per image (or the numpy Detections pytree when ``raw=True``).
+    """
+    from collections import deque
+
+    opts = dict(
+        slice_height=sliced_kwargs.get("slice_height"),
+        slice_width=sliced_kwargs.get("slice_width"),
+        overlap_height_ratio=sliced_kwargs.get("overlap_height_ratio", 0.2),
+        overlap_width_ratio=sliced_kwargs.get("overlap_width_ratio", 0.2),
+        perform_standard_pred=sliced_kwargs.get("perform_standard_pred", True),
+        postprocess_type=sliced_kwargs.get("postprocess_type", "GREEDYNMM"),
+        postprocess_match_metric=sliced_kwargs.get("postprocess_match_metric", "IOS"),
+        postprocess_match_threshold=sliced_kwargs.get("postprocess_match_threshold", 0.5),
+        postprocess_class_agnostic=sliced_kwargs.get("postprocess_class_agnostic", False),
+        auto_slice_resolution=sliced_kwargs.get("auto_slice_resolution", True),
+        merge_capacity=sliced_kwargs.get("merge_capacity", 1024),
+        use_pallas_gather=sliced_kwargs.get("use_pallas_gather", False),
+    )
+
+    def finalize(img, merged_dev, durations):
+        merged = jax.device_get(merged_dev)
+        if raw:
+            return merged
+        preds = detections_to_object_predictions(
+            merged, detection_model.category_mapping, full_shape=img.shape[:2]
+        )
+        return PredictionResult(
+            image=img,
+            object_prediction_list=preds,
+            durations_in_seconds=durations,
+            detections=merged,
+        )
+
+    inflight: deque = deque()
+    for image in images:
+        img = _prepare_image(image)
+        merged_dev, _grid, _tb, durations = _dispatch_sliced(
+            img, detection_model, **opts
+        )
+        inflight.append((img, merged_dev, durations))
+        if len(inflight) >= window:
+            yield finalize(*inflight.popleft())
+    while inflight:
+        yield finalize(*inflight.popleft())
+
+
 def get_prediction(
     image,
     detection_model: DetectionModel,
@@ -217,55 +357,30 @@ def get_sliced_prediction(
     static detection count entering the on-device merge.
     """
     img = _prepare_image(image)
-    h, w = img.shape[:2]
-    durations: dict[str, float] = {}
-
-    t0 = time.perf_counter()
-    if slice_height is None or slice_width is None:
-        if not auto_slice_resolution:
-            raise ValueError("slice size required when auto_slice_resolution=False")
-        s = adaptive_slice_size(h, w)
-        slice_height = slice_height or s
-        slice_width = slice_width or s
-    grid = compute_slice_grid(
-        h, w, slice_height, slice_width, overlap_height_ratio, overlap_width_ratio
-    )
-    t_bucket = bucket_tile_count(grid.num_tiles)
-    offsets, tile_valid = pad_grid_offsets(grid, t_bucket)
-
-    durations["slice"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    img_size = int(detection_model.image_size or max(slice_height, slice_width))
-    key = (
-        h,
-        w,
+    merged_dev, grid, t_bucket, durations = _dispatch_sliced(
+        img,
+        detection_model,
         slice_height,
         slice_width,
-        grid.padded_h,
-        grid.padded_w,
-        bool(perform_standard_pred),
-        float(detection_model.confidence_threshold),
-        postprocess_type.upper(),
-        postprocess_match_metric.upper(),
-        float(postprocess_match_threshold),
-        bool(postprocess_class_agnostic),
-        int(merge_capacity),
-        img_size,
-        bool(use_pallas_gather),
+        overlap_height_ratio,
+        overlap_width_ratio,
+        perform_standard_pred,
+        postprocess_type,
+        postprocess_match_metric,
+        postprocess_match_threshold,
+        postprocess_class_agnostic,
+        auto_slice_resolution,
+        merge_capacity,
+        use_pallas_gather,
     )
-    fused = _get_fused_pipeline(detection_model, key)
-    merged = fused(
-        detection_model.variables,
-        jnp.asarray(img),
-        jnp.asarray(offsets),
-        jnp.asarray(tile_valid),
-    )
-    # one batched host round-trip for the whole result (numpy-backed pytree)
-    merged = jax.device_get(merged)
-    durations["prediction"] = time.perf_counter() - t0
+    h, w = img.shape[:2]
+    slice_height = slice_height or grid.slice_h
+    slice_width = slice_width or grid.slice_w
     t0 = time.perf_counter()
-    durations["postprocess"] = time.perf_counter() - t0
+    # one batched host round-trip for the whole result (numpy-backed pytree)
+    merged = jax.device_get(merged_dev)
+    durations["prediction"] += time.perf_counter() - t0
+    durations["postprocess"] = 0.0  # merged on device inside the fused dispatch
 
     preds = detections_to_object_predictions(
         merged, detection_model.category_mapping, full_shape=(h, w)

@@ -94,3 +94,22 @@ def test_prediction_result_exports(tmp_path):
     import os
 
     assert os.path.exists(out)
+
+
+def test_predict_stream_pipelined():
+    from facedet_tpu.engine.predict import predict_stream
+
+    model = FakeBlobDetector(confidence_threshold=0.5)
+    imgs = [make_image(100, 120, [(30, 40)]), make_image(100, 120, [(60, 80)]),
+            make_image(100, 120, [(20, 100)])]
+    results = list(
+        predict_stream(imgs, model, window=2, slice_height=64, slice_width=64,
+                       perform_standard_pred=False)
+    )
+    assert len(results) == 3
+    for r, img in zip(results, imgs):
+        assert len(r.object_prediction_list) == 1
+    # raw mode returns the numpy Detections pytree
+    raw = list(predict_stream(imgs[:1], model, window=2, slice_height=64,
+                              slice_width=64, perform_standard_pred=False, raw=True))
+    assert raw[0].boxes.ndim == 2
