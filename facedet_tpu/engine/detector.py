@@ -216,11 +216,14 @@ class YoloV11PoseDetectionModel(DetectionModel):
         self.model = YoloV11(self.cfg)
         if self.model_path is None:
             init_size = int(self.image_size or 640)
-            self.variables = self.model.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, init_size, init_size, 3), jnp.float32),
-                train=False,
-            )
+            # init on CPU: tracing/compiling the init graph on a remote TPU
+            # costs minutes; params transfer to the accelerator on first use
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                self.variables = self.model.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, 64, 64, 3), jnp.float32),
+                    train=False,
+                )
         elif str(self.model_path).endswith(".npz"):
             self.variables = load_params_npz(self.model_path)
         elif str(self.model_path).endswith(".pt"):

@@ -47,10 +47,10 @@ class ScrfdDetectionModel(DetectionModel):
         self.cfg = dataclasses.replace(cfg, dtype=self.dtype)
         self.model = Scrfd(self.cfg)
         if self.model_path is None:
-            size = int(self.image_size or 640)
-            self.variables = self.model.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), train=False
-            )
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                self.variables = self.model.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+                )
         elif str(self.model_path).endswith(".npz"):
             self.variables = load_params_npz(self.model_path)
         else:
