@@ -22,7 +22,24 @@ import numpy as np
 LOW_MODEL_CONFIDENCE = 0.1
 IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
-__all__ = ["predict", "bbox_sort", "agg_prediction", "increment_path"]
+__all__ = [
+    "predict",
+    "predict_fiftyone",
+    "bbox_sort",
+    "agg_prediction",
+    "increment_path",
+]
+
+
+def predict_fiftyone(*args, **kwargs):  # pragma: no cover - optional dep
+    """FiftyOne-visualised batch prediction (docs sahi/predict.py:787) —
+    requires the optional fiftyone package, which is not installed on TPU
+    build hosts. Run ``predict(..., dataset_json_path=...)`` and load the COCO
+    result.json into FiftyOne offline instead."""
+    raise ImportError(
+        "fiftyone is not available in this environment; use predict() with "
+        "dataset_json_path and import the COCO results into FiftyOne offline"
+    )
 
 
 def bbox_sort(a, b, thresh: float) -> float:

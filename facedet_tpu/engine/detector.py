@@ -194,10 +194,45 @@ class DetectionModel:
         return [self._object_prediction_list]
 
 
+def attach_keypoints_to_predictions(predictions, keypoint_cache=None, iou_threshold=0.5):
+    """API-compat shim for the reference's post-merge keypoint re-attachment
+    (utils/yolo_wrapper.py:168-200: exact "x1_y1_x2_y2" string-key match, then
+    IoU>0.5 fuzzy scan). In this framework keypoints ride through the merge as
+    tensor columns, so predictions already carry them — the function exists so
+    reference-call-sites port unchanged; it only fills gaps from an optional
+    cache of {(x1, y1, x2, y2): kpts} for externally-produced predictions."""
+    if not keypoint_cache:
+        return predictions
+    from facedet_tpu.eval.dual import calculate_iou
+
+    for p in predictions:
+        if p.keypoints is not None:
+            continue
+        box = tuple(round(v, 1) for v in p.bbox.to_xyxy())
+        if box in keypoint_cache:
+            p.keypoints = np.asarray(keypoint_cache[box], np.float32)
+            continue
+        x1, y1, x2, y2 = p.bbox.to_xyxy()
+        for key, kpts in keypoint_cache.items():
+            kx1, ky1, kx2, ky2 = key
+            iou = calculate_iou(
+                [x1, y1, x2 - x1, y2 - y1], [kx1, ky1, kx2 - kx1, ky2 - ky1]
+            )
+            if iou > iou_threshold:
+                p.keypoints = np.asarray(kpts, np.float32)
+                break
+    return predictions
+
+
 class YoloV11PoseDetectionModel(DetectionModel):
     """YOLOv11-pose detector (reference utils/yolo_wrapper.py:7-229), with
     keypoints carried natively through merge instead of the reference's
     string-key cache + IoU re-attach (:156-200)."""
+
+    def attach_keypoints_to_predictions(self, predictions, iou_threshold=0.5):
+        """Reference utils/yolo_wrapper.py:168 — a no-op pass-through here
+        (keypoints survive the merge natively); kept for API parity."""
+        return attach_keypoints_to_predictions(predictions, None, iou_threshold)
 
     def __init__(self, *args, scale: str = "s", dtype: str = "bfloat16", **kwargs):
         self.scale = scale

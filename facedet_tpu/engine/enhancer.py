@@ -112,6 +112,13 @@ class FaceEnhancer:
                     f"unknown model {model_name!r}; available: {list(MODEL_CATALOG)}"
                 )
             cfg = MODEL_CATALOG[model_name]
+        on_cpu = (device or jax.devices()[0].platform) in ("cpu", "CPU")
+        if on_cpu:
+            # CPU mode: full precision + small tiles, mirroring the
+            # reference's CPU fallbacks (utils/enhancer.py:88-91)
+            half = False
+            if tile > 200:
+                tile = 200
         if half:
             cfg = dataclasses.replace(cfg, dtype="bfloat16")
         self.cfg = cfg

@@ -33,6 +33,7 @@ from facedet_tpu.engine.prediction import (
 from facedet_tpu.ops.nms import merge_detections
 from facedet_tpu.ops.tiler import (
     adaptive_slice_size,
+    bucket_image_dim,
     bucket_tile_count,
     compute_slice_grid,
     gather_tiles,
@@ -109,12 +110,10 @@ def _get_fused_pipeline(
     if key in cache:
         return cache[key]
     (
-        h,
-        w,
+        bucket_h,
+        bucket_w,
         slice_h,
         slice_w,
-        padded_h,
-        padded_w,
         standard,
         conf,
         mode,
@@ -125,29 +124,39 @@ def _get_fused_pipeline(
         img_size,
         use_pallas,
     ) = key
-    spec = compute_letterbox(h, w, img_size) if standard else None
-
     @jax.jit
-    def fused(variables, image, offsets, tile_valid):
+    def fused(variables, image, offsets, tile_valid, true_hw):
         imgf = (
             image.astype(jnp.float32) / 255.0
             if image.dtype == jnp.uint8
             else image.astype(jnp.float32)
         )
-        padded = pad_image(imgf, padded_h, padded_w)
+        padded = imgf  # already padded to (bucket_h, bucket_w) on host
         tiles = gather_tiles(padded, offsets, slice_h, slice_w, use_pallas=use_pallas)
         det = detection_model.tile_forward(variables, tiles, conf)
         flat = _shift_and_flatten(det, offsets, tile_valid)
         parts = [flat]
         if standard:
-            full_tile = apply_letterbox(imgf, spec)
+            # dynamic letterbox: traced per-image scale, static 640-canvas
+            # output — the true-size letterbox semantics of the reference's
+            # full-image pass without a compile per unique resolution
+            scale = jnp.minimum(img_size / true_hw[0], img_size / true_hw[1])
+            full_tile = jax.image.scale_and_translate(
+                padded,
+                (img_size, img_size, padded.shape[2]),
+                (0, 1),
+                jnp.stack([scale, scale]),
+                jnp.zeros(2),
+                method="linear",
+            )
             full_det = detection_model.tile_forward(variables, full_tile[None], conf)
             full_det = jax.tree.map(lambda x: x[0], full_det)
+            kpts = full_det.kpts.at[..., :2].divide(scale)
             full_det = Detections(
-                boxes=unletterbox_boxes(full_det.boxes, spec),
+                boxes=full_det.boxes / scale,
                 scores=full_det.scores,
                 classes=full_det.classes,
-                kpts=unletterbox_kpts(full_det.kpts, spec),
+                kpts=kpts,
                 valid=full_det.valid,
             )
             parts.append(full_det)
@@ -160,7 +169,7 @@ def _get_fused_pipeline(
             match_threshold=threshold,
             class_agnostic=agnostic,
         )
-        return _clip_detections(merged, h, w)
+        return _clip_detections(merged, true_hw[0], true_hw[1])
 
     cache[key] = fused
     return fused
@@ -210,17 +219,20 @@ def _dispatch_sliced(
     )
     t_bucket = bucket_tile_count(grid.num_tiles)
     offsets, tile_valid = pad_grid_offsets(grid, t_bucket)
+    # bucket the padded canvas so compilations are shared across the
+    # variable-resolution image stream (SURVEY.md §7: avoid recompilation
+    # storms across the 3.2k-image eval set)
+    bucket_h = bucket_image_dim(grid.padded_h)
+    bucket_w = bucket_image_dim(grid.padded_w)
     durations["slice"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     img_size = int(detection_model.image_size or max(slice_height, slice_width))
     key = (
-        h,
-        w,
+        bucket_h,
+        bucket_w,
         slice_height,
         slice_width,
-        grid.padded_h,
-        grid.padded_w,
         bool(perform_standard_pred),
         float(detection_model.confidence_threshold),
         postprocess_type.upper(),
@@ -232,20 +244,34 @@ def _dispatch_sliced(
         bool(use_pallas_gather),
     )
     fused = _get_fused_pipeline(detection_model, key)
-    img_dev = jnp.asarray(img)
+    if isinstance(img, np.ndarray):
+        if img.shape[0] != bucket_h or img.shape[1] != bucket_w:
+            img_padded = np.zeros((bucket_h, bucket_w, img.shape[2]), img.dtype)
+            img_padded[: img.shape[0], : img.shape[1]] = img
+        else:
+            img_padded = img
+        img_dev = jnp.asarray(img_padded)
+    else:  # already a device array (multi-device streaming path)
+        img_dev = jnp.pad(
+            img,
+            ((0, bucket_h - img.shape[0]), (0, bucket_w - img.shape[1]), (0, 0)),
+        )
     device = getattr(img_dev, "devices", lambda: None)()
     if device:  # keep aux inputs on the image's (possibly non-default) device
         dev = next(iter(device))
         offsets_dev = jax.device_put(jnp.asarray(offsets), dev)
         tile_valid_dev = jax.device_put(jnp.asarray(tile_valid), dev)
+        true_hw = jax.device_put(jnp.asarray([h, w], jnp.float32), dev)
     else:
         offsets_dev = jnp.asarray(offsets)
         tile_valid_dev = jnp.asarray(tile_valid)
+        true_hw = jnp.asarray([h, w], jnp.float32)
     merged_dev = fused(
         detection_model.variables,
         img_dev,
         offsets_dev,
         tile_valid_dev,
+        true_hw,
     )
     durations["prediction"] = time.perf_counter() - t0
     return merged_dev, grid, t_bucket, durations
@@ -348,6 +374,7 @@ def get_sliced_prediction(
     postprocess_class_agnostic: bool = False,
     auto_slice_resolution: bool = True,
     merge_capacity: int = 1024,
+    merge_buffer_length: Optional[int] = None,
     use_pallas_gather: bool = False,
     verbose: int = 0,
 ) -> PredictionResult:
@@ -355,7 +382,13 @@ def get_sliced_prediction(
 
     Signature-compatible with the reference; ``merge_capacity`` bounds the
     static detection count entering the on-device merge.
+    ``merge_buffer_length`` (the reference's incremental early-merge knob,
+    :295-298, a CPU-memory relief valve) is accepted for compatibility and
+    folded into ``merge_capacity`` — the static-capacity merge already bounds
+    memory deterministically.
     """
+    if merge_buffer_length is not None:
+        merge_capacity = min(merge_capacity, max(int(merge_buffer_length), 64))
     img = _prepare_image(image)
     merged_dev, grid, t_bucket, durations = _dispatch_sliced(
         img,

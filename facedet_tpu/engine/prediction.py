@@ -108,6 +108,24 @@ class ObjectPrediction:
             keypoints=kpts,
         )
 
+    def to_fiftyone_detection(self, image_height: int, image_width: int):
+        """FiftyOne export (docs sahi/prediction.py:144); gated on the
+        optional fiftyone package."""
+        try:
+            import fiftyone as fo
+        except ImportError as e:  # pragma: no cover
+            raise ImportError("fiftyone is not installed on this host") from e
+        x1, y1, x2, y2 = self.bbox.to_xyxy()
+        rel_box = [
+            x1 / image_width,
+            y1 / image_height,
+            (x2 - x1) / image_width,
+            (y2 - y1) / image_height,
+        ]
+        return fo.Detection(
+            label=self.category.name, bounding_box=rel_box, confidence=self.score.value
+        )
+
     def to_coco_prediction(self, image_id: Any = None) -> dict:
         """COCO-format dict (docs sahi/prediction.py:122)."""
         return {

@@ -169,6 +169,7 @@ class OfficialWiderFaceEvaluator:
         slicing_strategy: str = "uniform",  # uniform | adaptive
         sahi_config: Optional[dict] = None,
         enhancer=None,
+        perform_standard_pred: bool = True,
         bounded_enhancement: bool = False,
         face_size_threshold: float = 50.0,
         iou_threshold: float = 0.5,
@@ -187,6 +188,7 @@ class OfficialWiderFaceEvaluator:
             "overlap_ratio": 0.2,
         }
         self.enhancer = enhancer
+        self.perform_standard_pred = perform_standard_pred
         self.bounded_enhancement = bounded_enhancement
         self.face_size_threshold = face_size_threshold
         self.iou_threshold = iou_threshold
@@ -284,6 +286,7 @@ class OfficialWiderFaceEvaluator:
                     slice_width=sw,
                     overlap_height_ratio=self.sahi_config["overlap_ratio"],
                     overlap_width_ratio=self.sahi_config["overlap_ratio"],
+                    perform_standard_pred=self.perform_standard_pred,
                     postprocess_type="NMS",
                     postprocess_match_metric="IOU",
                     postprocess_match_threshold=0.5,

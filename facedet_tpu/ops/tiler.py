@@ -151,6 +151,13 @@ def pad_grid_offsets(grid: TileGrid, target_tiles: int) -> tuple[np.ndarray, np.
     return offsets, valid
 
 
+def bucket_image_dim(x: int, multiple: int = 256) -> int:
+    """Round an image dimension up to a coarse bucket so jit compilations are
+    shared across the variable-resolution image stream (e.g. WIDERFACE val),
+    instead of recompiling per unique (H, W)."""
+    return max(multiple, -(-x // multiple) * multiple)
+
+
 def pad_image(image: jax.Array, padded_h: int, padded_w: int) -> jax.Array:
     """Zero-pad bottom/right so every tile lies in bounds."""
     h, w = image.shape[0], image.shape[1]

@@ -65,7 +65,8 @@ def test_detect_first_pipeline_with_enhancer(tmp_path):
 def test_enhance_first_pipeline_rescales(tmp_path):
     from facedet_tpu.engine.pipelines import enhance_first_pipeline
 
-    model = FakeBlobDetectionModel(confidence_threshold=0.4)
+    # low threshold: the random-weight SR net dims the synthetic dot
+    model = FakeBlobDetectionModel(confidence_threshold=0.2)
     enh = FaceEnhancer(cfg=TINY_SR, outscale=4, tile=0, half=False)
     img = make_image(60, 80, [(30, 40)])
     result = enhance_first_pipeline(
