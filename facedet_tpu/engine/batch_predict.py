@@ -109,10 +109,10 @@ def predict(
     return_dict: bool = True,
 ) -> Optional[dict]:
     """Folder/image/COCO batch driver (docs sahi/predict.py:385)."""
+    from facedet_tpu.data.native_loader import load_image
     from facedet_tpu.engine.predict import get_prediction, get_sliced_prediction
     from facedet_tpu.utils.viz import (
         draw_detections_on_image,
-        load_image,
         save_face_crops,
         save_image,
     )

@@ -247,7 +247,7 @@ class OfficialWiderFaceEvaluator:
     def _load_image(self, path: str) -> Optional[np.ndarray]:
         if self.image_loader is not None:
             return self.image_loader(path)
-        from facedet_tpu.utils.viz import load_image
+        from facedet_tpu.data.native_loader import load_image
 
         return load_image(path) if os.path.exists(path) else None
 
