@@ -185,6 +185,27 @@ class FaceEnhancer:
         self.stats["seconds"] += dt
         return out8, dt
 
+    def enhance_detections(
+        self,
+        image: jax.Array,
+        detections,
+        crop_size: int = 128,
+        margin: float = 0.1,
+    ) -> jax.Array:
+        """Fused detect->crop->enhance: extract every detection's box from the
+        image on device (ops/crop_resize.py), batch them at a static
+        ``crop_size``, and run the SR net over the whole batch in one dispatch
+        — replacing the reference's per-crop file round-trip
+        (pipeline_v1_detection_first/app_v1.py:88-106, utils/enhancer.py:344-391).
+
+        Returns [N, crop_size*scale, crop_size*scale, 3] enhanced crops (rows
+        for invalid detections are garbage — mask with ``detections.valid``).
+        """
+        from facedet_tpu.ops.crop_resize import crop_and_resize
+
+        crops = crop_and_resize(image, detections.boxes, crop_size, margin)
+        return self._net(crops)
+
     def enhance_face_crop(
         self,
         input_path: str,
