@@ -44,6 +44,7 @@ from facedet_tpu.ops.tiler import (
 __all__ = [
     "get_prediction",
     "get_sliced_prediction",
+    "get_sliced_prediction_batch",
     "predict_stream",
     "POSTPROCESS_DEFAULTS",
 ]
@@ -124,8 +125,7 @@ def _get_fused_pipeline(
         img_size,
         use_pallas,
     ) = key
-    @jax.jit
-    def fused(variables, image, offsets, tile_valid, true_hw):
+    def core(variables, image, offsets, tile_valid, true_hw):
         imgf = (
             image.astype(jnp.float32) / 255.0
             if image.dtype == jnp.uint8
@@ -171,8 +171,14 @@ def _get_fused_pipeline(
         )
         return _clip_detections(merged, true_hw[0], true_hw[1])
 
-    cache[key] = fused
-    return fused
+    entry = {
+        "single": jax.jit(core),
+        # batched-stream variant: amortises per-dispatch/link overhead over a
+        # whole same-size image batch (weights and tile grid broadcast)
+        "batch": jax.jit(jax.vmap(core, in_axes=(None, 0, None, None, 0))),
+    }
+    cache[key] = entry
+    return entry
 
 
 def _prepare_image(image) -> np.ndarray:
@@ -266,7 +272,7 @@ def _dispatch_sliced(
         offsets_dev = jnp.asarray(offsets)
         tile_valid_dev = jnp.asarray(tile_valid)
         true_hw = jnp.asarray([h, w], jnp.float32)
-    merged_dev = fused(
+    merged_dev = fused["single"](
         detection_model.variables,
         img_dev,
         offsets_dev,
@@ -275,6 +281,99 @@ def _dispatch_sliced(
     )
     durations["prediction"] = time.perf_counter() - t0
     return merged_dev, grid, t_bucket, durations
+
+
+def get_sliced_prediction_batch(
+    images,
+    detection_model: DetectionModel,
+    raw: bool = False,
+    **sliced_kwargs,
+):
+    """Batched sliced prediction over SAME-SIZE images in ONE device dispatch.
+
+    The vmapped fused pipeline broadcasts weights and the tile grid over the
+    image axis, so per-dispatch and host-link overheads amortise across the
+    batch — the serving-throughput analog of the reference's one-image-at-a-
+    time loop. Returns a list of PredictionResult (or the batched numpy
+    Detections pytree when ``raw=True``)."""
+    imgs = [_prepare_image(im) for im in images]
+    if not imgs:
+        return []
+    h, w = imgs[0].shape[:2]
+    if any(im.shape[:2] != (h, w) for im in imgs):
+        raise ValueError("get_sliced_prediction_batch requires same-size images")
+
+    opts = _stream_opts(sliced_kwargs)
+    slice_height, slice_width = opts["slice_height"], opts["slice_width"]
+    if slice_height is None or slice_width is None:
+        s = adaptive_slice_size(h, w)
+        slice_height, slice_width = slice_height or s, slice_width or s
+    grid = compute_slice_grid(
+        h, w, slice_height, slice_width,
+        opts["overlap_height_ratio"], opts["overlap_width_ratio"],
+    )
+    t_bucket = bucket_tile_count(grid.num_tiles)
+    offsets, tile_valid = pad_grid_offsets(grid, t_bucket)
+    bucket_h = bucket_image_dim(grid.padded_h)
+    bucket_w = bucket_image_dim(grid.padded_w)
+    img_size = int(detection_model.image_size or max(slice_height, slice_width))
+    key = (
+        bucket_h,
+        bucket_w,
+        slice_height,
+        slice_width,
+        bool(opts["perform_standard_pred"]),
+        float(detection_model.confidence_threshold),
+        opts["postprocess_type"].upper(),
+        opts["postprocess_match_metric"].upper(),
+        float(opts["postprocess_match_threshold"]),
+        bool(opts["postprocess_class_agnostic"]),
+        int(opts["merge_capacity"]),
+        img_size,
+        False,
+    )
+    fused = _get_fused_pipeline(detection_model, key)
+    batch = np.zeros((len(imgs), bucket_h, bucket_w, imgs[0].shape[2]), imgs[0].dtype)
+    for i, im in enumerate(imgs):
+        batch[i, :h, :w] = im
+    true_hw = jnp.tile(jnp.asarray([[h, w]], jnp.float32), (len(imgs), 1))
+    merged = fused["batch"](
+        detection_model.variables,
+        jnp.asarray(batch),
+        jnp.asarray(offsets),
+        jnp.asarray(tile_valid),
+        true_hw,
+    )
+    merged = jax.device_get(merged)
+    if raw:
+        return merged
+    results = []
+    for i, im in enumerate(imgs):
+        det = jax.tree.map(lambda x: x[i], merged)
+        preds = detections_to_object_predictions(
+            det, detection_model.category_mapping, full_shape=(h, w)
+        )
+        results.append(
+            PredictionResult(image=im, object_prediction_list=preds, detections=det)
+        )
+    return results
+
+
+def _stream_opts(sliced_kwargs: dict) -> dict:
+    return dict(
+        slice_height=sliced_kwargs.get("slice_height"),
+        slice_width=sliced_kwargs.get("slice_width"),
+        overlap_height_ratio=sliced_kwargs.get("overlap_height_ratio", 0.2),
+        overlap_width_ratio=sliced_kwargs.get("overlap_width_ratio", 0.2),
+        perform_standard_pred=sliced_kwargs.get("perform_standard_pred", True),
+        postprocess_type=sliced_kwargs.get("postprocess_type", "GREEDYNMM"),
+        postprocess_match_metric=sliced_kwargs.get("postprocess_match_metric", "IOS"),
+        postprocess_match_threshold=sliced_kwargs.get("postprocess_match_threshold", 0.5),
+        postprocess_class_agnostic=sliced_kwargs.get("postprocess_class_agnostic", False),
+        auto_slice_resolution=sliced_kwargs.get("auto_slice_resolution", True),
+        merge_capacity=sliced_kwargs.get("merge_capacity", 1024),
+        use_pallas_gather=sliced_kwargs.get("use_pallas_gather", False),
+    )
 
 
 def predict_stream(
@@ -294,20 +393,7 @@ def predict_stream(
     """
     from collections import deque
 
-    opts = dict(
-        slice_height=sliced_kwargs.get("slice_height"),
-        slice_width=sliced_kwargs.get("slice_width"),
-        overlap_height_ratio=sliced_kwargs.get("overlap_height_ratio", 0.2),
-        overlap_width_ratio=sliced_kwargs.get("overlap_width_ratio", 0.2),
-        perform_standard_pred=sliced_kwargs.get("perform_standard_pred", True),
-        postprocess_type=sliced_kwargs.get("postprocess_type", "GREEDYNMM"),
-        postprocess_match_metric=sliced_kwargs.get("postprocess_match_metric", "IOS"),
-        postprocess_match_threshold=sliced_kwargs.get("postprocess_match_threshold", 0.5),
-        postprocess_class_agnostic=sliced_kwargs.get("postprocess_class_agnostic", False),
-        auto_slice_resolution=sliced_kwargs.get("auto_slice_resolution", True),
-        merge_capacity=sliced_kwargs.get("merge_capacity", 1024),
-        use_pallas_gather=sliced_kwargs.get("use_pallas_gather", False),
-    )
+    opts = _stream_opts(sliced_kwargs)
 
     def finalize(img, merged_dev, durations):
         merged = jax.device_get(merged_dev)

@@ -113,3 +113,30 @@ def test_predict_stream_pipelined():
     raw = list(predict_stream(imgs[:1], model, window=2, slice_height=64,
                               slice_width=64, perform_standard_pred=False, raw=True))
     assert raw[0].boxes.ndim == 2
+
+
+def test_sliced_prediction_batch_matches_single():
+    from facedet_tpu.engine.predict import get_sliced_prediction_batch
+
+    model = FakeBlobDetector(confidence_threshold=0.5)
+    imgs = [make_image(100, 120, [(30, 40)]), make_image(100, 120, [(70, 90)])]
+    batch = get_sliced_prediction_batch(
+        imgs, model, slice_height=64, slice_width=64, perform_standard_pred=False
+    )
+    assert len(batch) == 2
+    for r, (dy, dx) in zip(batch, [(30, 40), (70, 90)]):
+        assert len(r.object_prediction_list) == 1
+        p = r.object_prediction_list[0]
+        assert abs((p.bbox.minx + p.bbox.maxx) / 2 - dx) <= 1.5
+        assert abs((p.bbox.miny + p.bbox.maxy) / 2 - dy) <= 1.5
+    # single-path agreement
+    single = get_sliced_prediction(
+        imgs[0], model, slice_height=64, slice_width=64, perform_standard_pred=False
+    )
+    import numpy as _np
+
+    _np.testing.assert_allclose(
+        _np.asarray(batch[0].object_prediction_list[0].bbox.to_xyxy()),
+        _np.asarray(single.object_prediction_list[0].bbox.to_xyxy()),
+        atol=1e-4,
+    )
