@@ -19,12 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from facedet_tpu.core.detections import Detections
-from facedet_tpu.core.letterbox import (
-    apply_letterbox,
-    compute_letterbox,
-    unletterbox_boxes,
-    unletterbox_kpts,
-)
 from facedet_tpu.engine.detector import DetectionModel
 from facedet_tpu.engine.prediction import (
     PredictionResult,
@@ -38,7 +32,6 @@ from facedet_tpu.ops.tiler import (
     compute_slice_grid,
     gather_tiles,
     pad_grid_offsets,
-    pad_image,
 )
 
 __all__ = [
