@@ -62,6 +62,54 @@ def _assign(anchors, strides, gt_boxes, gt_mask):
     return jnp.argmin(cost, axis=1)  # [M]
 
 
+def tal_assign(
+    anchors: jax.Array,  # [A, 2] centers (px)
+    pred_boxes: jax.Array,  # [A, 4] decoded xyxy
+    pred_scores: jax.Array,  # [A, C] sigmoid probs
+    gt_boxes: jax.Array,  # [M, 4] xyxy
+    gt_mask: jax.Array,  # [M]
+    topk: int = 10,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+):
+    """Task-aligned assignment (the published TAL scheme ultralytics trains
+    YOLOv8/11 with): per GT, the top-k anchors inside the box by alignment
+    metric ``score^alpha * IoU^beta``; anchor conflicts resolve to the GT with
+    the highest IoU. Fully vectorised — no data-dependent shapes.
+
+    Returns (fg_mask [A], assigned_gt [A] index, norm_align [A] — the
+    IoU-normalised alignment used as the cls target)."""
+    m, a = gt_boxes.shape[0], anchors.shape[0]
+    iou = _iou_xyxy(gt_boxes[:, None, :], pred_boxes[None, :, :])  # [M, A]
+    score = pred_scores[:, 0][None, :]  # single class: [1, A] -> broadcast
+    align = (score**alpha) * (iou**beta)  # [M, A]
+    inside = (
+        (anchors[None, :, 0] >= gt_boxes[:, None, 0])
+        & (anchors[None, :, 0] <= gt_boxes[:, None, 2])
+        & (anchors[None, :, 1] >= gt_boxes[:, None, 1])
+        & (anchors[None, :, 1] <= gt_boxes[:, None, 3])
+    ) & gt_mask[:, None]
+    align = jnp.where(inside, align, 0.0)
+
+    k = min(topk, a)
+    top_vals, _ = jax.lax.top_k(align, k)  # [M, k]
+    kth = top_vals[:, -1:]  # threshold per GT
+    cand = inside & (align >= jnp.maximum(kth, 1e-12))  # [M, A]
+
+    # conflict resolution: anchor claimed by several GT goes to max-IoU GT
+    iou_masked = jnp.where(cand, iou, -1.0)
+    best_gt = jnp.argmax(iou_masked, axis=0)  # [A]
+    fg = jnp.max(iou_masked, axis=0) >= 0.0
+    # normalised alignment target (TAL: align * max_iou / max_align per GT)
+    max_align = jnp.max(align, axis=1, keepdims=True)
+    max_iou = jnp.max(jnp.where(cand, iou, 0.0), axis=1, keepdims=True)
+    norm = align * max_iou / jnp.maximum(max_align, 1e-9)  # [M, A]
+    norm_align = jnp.where(
+        fg, norm[best_gt, jnp.arange(a)], 0.0
+    )
+    return fg, best_gt, norm_align
+
+
 def _iou_xyxy(a, b, eps=1e-7):
     lt = jnp.maximum(a[..., :2], b[..., :2])
     rb = jnp.minimum(a[..., 2:], b[..., 2:])
@@ -82,6 +130,7 @@ def yolo_loss(
     dfl_weight: float = 1.5,
     kpt_weight: float = 12.0,
     kobj_weight: float = 1.0,
+    use_tal: bool = True,
 ) -> tuple[jax.Array, dict]:
     level_shapes = [(lvl["box"].shape[1], lvl["box"].shape[2]) for lvl in level_outputs]
     anchors, strides = _flat_anchors(level_shapes)
@@ -101,6 +150,76 @@ def yolo_loss(
         kpt_raw = jnp.concatenate(
             [lvl["kpt"].reshape(b, -1, k, 3) for lvl in level_outputs], axis=1
         )
+
+    proj_full = jnp.arange(REG_MAX, dtype=jnp.float32)
+
+    def per_image_tal(box_lg, cls_lg, boxes, mask, kpt_lg=None, kpts=None):
+        """TAL multi-positive assignment over all anchors (the v8/v11 loss)."""
+        # decode every anchor's box once (shared by assigner and IoU loss)
+        dist_all = (jax.nn.softmax(box_lg, -1) * proj_full).sum(-1)  # [A,4]
+        pred_boxes = jnp.stack(
+            [
+                anchors[:, 0] - dist_all[:, 0] * strides,
+                anchors[:, 1] - dist_all[:, 1] * strides,
+                anchors[:, 0] + dist_all[:, 2] * strides,
+                anchors[:, 1] + dist_all[:, 3] * strides,
+            ],
+            axis=-1,
+        )
+        pred_scores = jax.nn.sigmoid(cls_lg)  # [A,C]
+        fg, best_gt, norm_align = tal_assign(
+            anchors, jax.lax.stop_gradient(pred_boxes),
+            jax.lax.stop_gradient(pred_scores), boxes, mask,
+        )
+        tgt_boxes = boxes[best_gt]  # [A,4]
+        wsum = jnp.maximum(norm_align.sum(), 1.0)
+
+        iou = _iou_xyxy(pred_boxes, tgt_boxes)
+        box_l = (jnp.where(fg, (1.0 - iou) * norm_align, 0.0)).sum() / wsum
+
+        # DFL on target ltrb distances at fg anchors
+        ltrb = jnp.stack(
+            [
+                (anchors[:, 0] - tgt_boxes[:, 0]) / strides,
+                (anchors[:, 1] - tgt_boxes[:, 1]) / strides,
+                (tgt_boxes[:, 2] - anchors[:, 0]) / strides,
+                (tgt_boxes[:, 3] - anchors[:, 1]) / strides,
+            ],
+            axis=-1,
+        )
+        ltrb = jnp.clip(ltrb, 0.0, REG_MAX - 1 - 1e-3)
+        lo = jnp.floor(ltrb)
+        w_hi = ltrb - lo
+        logp = jax.nn.log_softmax(box_lg, axis=-1)  # [A,4,REG_MAX]
+        lo_i = lo.astype(jnp.int32)
+        lp_lo = jnp.take_along_axis(logp, lo_i[..., None], -1)[..., 0]
+        lp_hi = jnp.take_along_axis(
+            logp, jnp.minimum(lo_i + 1, REG_MAX - 1)[..., None], -1
+        )[..., 0]
+        dfl_all = -((1 - w_hi) * lp_lo + w_hi * lp_hi)  # [A,4]
+        dfl = (jnp.where(fg, dfl_all.mean(-1) * norm_align, 0.0)).sum() / wsum
+
+        # classification: target = normalised alignment at class 0
+        tgt = jnp.zeros((a_total, nc)).at[:, 0].set(norm_align)
+        cls_l = optax.sigmoid_binary_cross_entropy(cls_lg, tgt).sum() / wsum
+
+        out = {"box": box_l, "cls": cls_l, "dfl": dfl}
+        if kpt_lg is not None:
+            tgt_kpts = kpts[best_gt]  # [A,K,3]
+            px = (kpt_lg[..., 0] * 2.0 + (anchors[:, None, 0] / strides[:, None] - 0.5)) * strides[:, None]
+            py = (kpt_lg[..., 1] * 2.0 + (anchors[:, None, 1] / strides[:, None] - 0.5)) * strides[:, None]
+            vis = (tgt_kpts[..., 2] > 0) & fg[:, None]
+            kw = jnp.maximum(vis.sum(), 1)
+            size = jnp.maximum(tgt_boxes[:, 2] - tgt_boxes[:, 0], 1.0)[:, None]
+            kl = (jnp.abs(px - tgt_kpts[..., 0]) + jnp.abs(py - tgt_kpts[..., 1])) / size
+            out["kpt"] = (kl * vis).sum() / kw
+            out["kobj"] = (
+                optax.sigmoid_binary_cross_entropy(
+                    kpt_lg[..., 2], vis.astype(jnp.float32)
+                )
+                * fg[:, None]
+            ).sum() / kw
+        return out
 
     def per_image(box_lg, cls_lg, boxes, mask, kpt_lg=None, kpts=None):
         m = boxes.shape[0]
@@ -170,10 +289,11 @@ def yolo_loss(
             ).sum() / wsum
         return out
 
+    fn = per_image_tal if use_tal else per_image
     if has_kpt:
-        losses = jax.vmap(per_image)(box_logits, cls_logits, gt_boxes, gt_mask, kpt_raw, gt_kpts)
+        losses = jax.vmap(fn)(box_logits, cls_logits, gt_boxes, gt_mask, kpt_raw, gt_kpts)
     else:
-        losses = jax.vmap(per_image)(box_logits, cls_logits, gt_boxes, gt_mask)
+        losses = jax.vmap(fn)(box_logits, cls_logits, gt_boxes, gt_mask)
     losses = jax.tree.map(jnp.mean, losses)
     total = (
         box_weight * losses["box"]

@@ -72,3 +72,41 @@ def test_loss_without_keypoints(setup):
     outs = [{k: v for k, v in lvl.items() if k != "kpt"} for lvl in outs]
     total, parts = yolo_loss(outs, boxes, mask, None)
     assert np.isfinite(float(total)) and "kpt" not in parts
+
+
+def test_tal_assigner_properties():
+    import jax.numpy as jnp
+    from facedet_tpu.train.yolo_train import tal_assign
+
+    # 8x8 grid of anchors, stride 8 -> 64 anchors over 64px image
+    ys = (jnp.arange(8) + 0.5) * 8
+    anchors = jnp.stack(jnp.meshgrid(ys, ys, indexing="ij"), -1).reshape(-1, 2)[:, ::-1]
+    pred_boxes = jnp.concatenate([anchors - 6, anchors + 6], -1)
+    pred_scores = jnp.full((64, 1), 0.5)
+    gt = jnp.array([[8.0, 8.0, 40.0, 40.0], [0.0, 0.0, 0.0, 0.0]])
+    mask = jnp.array([True, False])
+    fg, best_gt, norm = tal_assign(anchors, pred_boxes, pred_scores, gt, mask)
+    fg_np = np.asarray(fg)
+    assert fg_np.sum() > 0
+    # all foreground anchors lie inside the (only valid) GT box
+    centers = np.asarray(anchors)[fg_np]
+    assert (centers >= 8).all() and (centers <= 40).all()
+    assert (np.asarray(best_gt)[fg_np] == 0).all()
+    assert np.asarray(norm)[fg_np].max() <= 1.0 + 1e-6
+
+
+def test_tal_loss_trains(setup):
+    model, variables = setup
+    tx = make_optimizer(lr=5e-3, warmup_steps=1)
+    step = make_train_step(model, tx)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+    images, boxes, mask, kpts = make_batch(seed=5)
+    losses = []
+    for _ in range(6):
+        params, batch_stats, opt_state, loss, parts = step(
+            params, batch_stats, opt_state, images, boxes, mask, kpts
+        )
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], losses
