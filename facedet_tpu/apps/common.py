@@ -3,7 +3,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Optional
 
 from facedet_tpu.utils.config import DetectorConfig, EnhancerConfig
 

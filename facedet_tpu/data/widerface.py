@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Iterator, Optional
+from typing import Optional
 
 import numpy as np
 

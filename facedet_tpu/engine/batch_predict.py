@@ -17,8 +17,6 @@ from functools import cmp_to_key
 from pathlib import Path
 from typing import Optional
 
-import numpy as np
-
 LOW_MODEL_CONFIDENCE = 0.1
 IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
@@ -105,10 +103,19 @@ def predict(
     name: str = "exp",
     model_confidence_threshold: Optional[float] = None,
     force_postprocess_type: bool = False,
+    exclude_classes_by_name: Optional[list[str]] = None,
+    exclude_classes_by_id: Optional[list[int]] = None,
     verbose: int = 1,
     return_dict: bool = True,
 ) -> Optional[dict]:
-    """Folder/image/COCO batch driver (docs sahi/predict.py:385)."""
+    """Folder/image/COCO batch driver (docs sahi/predict.py:385). Video
+    sources are not supported on TPU hosts (no cv2/ffmpeg) — decode frames
+    externally and point ``source`` at the frames directory."""
+    if source and str(source).lower().endswith((".mp4", ".avi", ".mov", ".mkv")):
+        raise NotImplementedError(
+            "video sources need an external frame decoder on TPU hosts; "
+            "extract frames and pass the directory as source"
+        )
     from facedet_tpu.data.native_loader import load_image
     from facedet_tpu.engine.predict import get_prediction, get_sliced_prediction
     from facedet_tpu.utils.viz import (
@@ -171,6 +178,16 @@ def predict(
                 postprocess_match_threshold=postprocess_match_threshold,
                 postprocess_class_agnostic=postprocess_class_agnostic,
             )
+        if exclude_classes_by_name or exclude_classes_by_id:
+            # class-exclusion filter (docs sahi/predict.py filter_predictions)
+            result.object_prediction_list = [
+                p
+                for p in result.object_prediction_list
+                if not (
+                    (exclude_classes_by_name and p.category.name in exclude_classes_by_name)
+                    or (exclude_classes_by_id and p.category.id in exclude_classes_by_id)
+                )
+            ]
         for k in ("prediction", "slice"):
             durations[k] += result.durations_in_seconds.get(k, 0.0)
 

@@ -17,7 +17,6 @@ gather directly.
 """
 from __future__ import annotations
 
-import dataclasses
 import time
 from typing import Optional
 

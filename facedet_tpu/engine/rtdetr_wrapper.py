@@ -16,12 +16,7 @@ import numpy as np
 
 from facedet_tpu.core.detections import Detections
 from facedet_tpu.engine.detector import DetectionModel, load_params_npz
-from facedet_tpu.models.rtdetr import (
-    RTDETR_VARIANTS,
-    RtDetr,
-    RtDetrConfig,
-    decode_rtdetr,
-)
+from facedet_tpu.models.rtdetr import RTDETR_VARIANTS, RtDetr, decode_rtdetr
 
 
 class RtDetrDetectionModel(DetectionModel):

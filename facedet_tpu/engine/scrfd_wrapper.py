@@ -21,7 +21,7 @@ import numpy as np
 
 from facedet_tpu.core.detections import Detections
 from facedet_tpu.engine.detector import DetectionModel, load_params_npz
-from facedet_tpu.models.scrfd import SCRFD_VARIANTS, Scrfd, ScrfdConfig, decode_scrfd
+from facedet_tpu.models.scrfd import SCRFD_VARIANTS, Scrfd, decode_scrfd
 from facedet_tpu.models.yolo_decode import decode_to_detections
 
 

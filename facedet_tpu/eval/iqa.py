@@ -2,7 +2,10 @@
 
 Reference usage: pipeline_v4_yolo/1_Inference.py:121-183 creates pyiqa NIQE +
 BRISQUE metrics for before/after-enhancement comparison, and :185-216 scores
-individual face crops; published numbers in ``hasil eval niqe.txt``.
+individual face crops; published numbers in ``hasil eval niqe.txt`` (which
+also lists TOPIQ-Face — a *trained* transformer IQA whose weights are not
+re-derivable from code; out of scope here, NIQE/BRISQUE cover the pipelines'
+delta-indicator use).
 
 This module re-implements the full feature machinery from the published
 algorithm descriptions: MSCN coefficients, GGD/AGGD moment-matching fits, the

@@ -8,8 +8,6 @@ bfloat16-friendly compute with float32 params, BN folded at inference via
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -19,7 +19,6 @@ data-dependent control flow under jit.
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import jax
 import jax.numpy as jnp

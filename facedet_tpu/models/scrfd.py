@@ -12,14 +12,10 @@ bf16-friendly; decode is a pure function mirroring models/yolo_decode.py.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-
-from facedet_tpu.core.detections import Detections
-from facedet_tpu.ops.nms import merge_detections
 
 STRIDES = (8, 16, 32)
 NUM_ANCHORS = 2  # anchors per location (same center, duplicated)

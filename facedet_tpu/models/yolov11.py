@@ -19,8 +19,6 @@ code.
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

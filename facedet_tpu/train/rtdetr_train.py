@@ -13,10 +13,9 @@ the device forward/backward.
 """
 from __future__ import annotations
 
-import functools
 import json
 import os
-from typing import Iterable, Optional
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp

@@ -14,14 +14,13 @@ Here training is an explicit jitted step:
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from facedet_tpu.models.yolov11 import REG_MAX, STRIDES, YoloConfig, YoloV11
+from facedet_tpu.models.yolov11 import REG_MAX, STRIDES, YoloV11
 from facedet_tpu.parallel.sharding import (
     batch_sharding,
     fsdp_param_shardings,

@@ -11,12 +11,11 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from facedet_tpu.models.yolov11 import YoloConfig, YoloV11
 from facedet_tpu.train.yolo_train import make_optimizer, make_train_step

@@ -181,3 +181,30 @@ def test_tuning_grid_search(tmp_path):
     assert set(best) == {"slice_size", "overlap", "postprocess", "metric", "threshold"}
     # fake detector's 10px box vs 10px GT IoU ~ high at 0.5 -> perfect AP at 0.5
     assert out["best"]["map50"] == pytest.approx(1.0)
+
+
+def test_batch_predict_class_exclusion(input_dir, tmp_path):
+    from facedet_tpu.engine.batch_predict import predict
+    import pytest as _pytest
+
+    model = FakeBlobDetectionModel(confidence_threshold=0.5)
+    out_dir = str(tmp_path / "runs_excl")
+    out = predict(
+        detection_model=model,
+        source=str(input_dir / "one.jpg"),
+        slice_height=64,
+        slice_width=64,
+        novisual=True,
+        export_pickle=True,
+        exclude_classes_by_name=["face"],
+        project=out_dir,
+        verbose=0,
+    )
+    import pickle, os
+
+    pkls = os.listdir(os.path.join(out["export_dir"], "pickles"))
+    with open(os.path.join(out["export_dir"], "pickles", pkls[0]), "rb") as f:
+        preds = pickle.load(f)
+    assert preds == []  # everything excluded
+    with _pytest.raises(NotImplementedError):
+        predict(detection_model=model, source="clip.mp4")
