@@ -4,6 +4,15 @@ Replaces the reference's host-side PIL crop loop (docs sahi/predict.py:229-288)
 with per-tile async DMA from the full-resolution image resident in HBM into the
 ``[T, S, S, C]`` output, one grid step per tile. Offsets arrive via scalar
 prefetch so the DMA addresses are known before the kernel body runs.
+
+Status: validated in interpret mode (tests/test_pallas_gather.py). This
+environment's remote TPU compile service rejects ANY dynamic-offset indexing
+driven by prefetched scalars (HTTP 500 from tpu_compile_helper — bisected:
+static-offset DMA and scalar-prefetch compute both compile; dynamic ``pl.ds``
+from a prefetched scalar does not, for both DMA and VMEM loads). The XLA
+gather path (ops/tiler.gather_tiles) measures 0.21 ms for a 6-tile 640x640
+batch on the v5e — not a bottleneck — so XLA remains the default and this
+kernel is opt-in for environments with a full Mosaic toolchain.
 """
 from __future__ import annotations
 
