@@ -250,3 +250,26 @@ class RtDetrTrainer:
             for h in self.history:
                 f.write(f"{h['epoch']},{h['train_loss']:.6f}\n")
         return {"best_loss": self.best_loss, "epochs": len(self.history)}
+
+    def as_detection_model(self, confidence_threshold: float = 0.25):
+        """Wrap the current params as an inference DetectionModel."""
+        from facedet_tpu.engine.rtdetr_wrapper import RtDetrDetectionModel
+
+        model = RtDetrDetectionModel(
+            confidence_threshold=confidence_threshold,
+            image_size=self.image_size,
+            load_at_init=False,
+        )
+        model.cfg = self.cfg
+        model.model = self.model
+        model.variables = {"params": self.params, "batch_stats": self.batch_stats}
+        return model
+
+    def validate(self, dataset, image_loader, use_sahi: bool = False) -> dict:
+        """COCO mAP validation -> {'map', 'map50', 'map75'}
+        (reference pipeline_v3_RTDETR/train_rtdetr.py:228-241 validate_model)."""
+        from facedet_tpu.tools.misc import validate_detector
+
+        return validate_detector(
+            self.as_detection_model(), dataset, image_loader, use_sahi=use_sahi
+        )

@@ -184,3 +184,27 @@ class YoloTrainer:
                 f,
             )
         return {"best_loss": self.best_loss, "epochs": len(self.history)}
+
+    def as_detection_model(self, confidence_threshold: float = 0.25):
+        """Wrap the current params as an inference DetectionModel."""
+        from facedet_tpu.engine.detector import YoloV11PoseDetectionModel
+
+        model = YoloV11PoseDetectionModel(
+            scale=self.cfg.scale,
+            dtype=self.cfg.dtype,
+            confidence_threshold=confidence_threshold,
+            image_size=self.image_size,
+            load_at_init=False,
+        )
+        model.cfg = self.cfg
+        model.model = self.model
+        model.variables = {"params": self.params, "batch_stats": self.batch_stats}
+        return model
+
+    def validate(self, dataset, image_loader, use_sahi: bool = False) -> dict:
+        """COCO mAP validation (reference train_rtdetr.py:228-241 analogue)."""
+        from facedet_tpu.tools.misc import validate_detector
+
+        return validate_detector(
+            self.as_detection_model(), dataset, image_loader, use_sahi=use_sahi
+        )

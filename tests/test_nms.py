@@ -131,3 +131,18 @@ def test_bad_mode_raises():
     d = make([[0, 0, 1, 1]], [0.5])
     with pytest.raises(ValueError):
         merge_detections(d, mode="SOFTNMS")
+
+
+def test_differential_large_scale():
+    # dense 400-box scene: long suppression chains stress the fixpoint solver
+    rng = np.random.default_rng(123)
+    n = 400
+    xy = rng.uniform(0, 150, (n, 2))
+    wh = rng.uniform(5, 30, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    det = Detections.from_arrays(boxes, scores, capacity=n)
+    got = merge_detections(det, "NMS", "IOU", 0.45).to_numpy()
+    want_boxes, want_scores = sequential_greedy_reference(boxes, scores, 0.45, "IOU")
+    np.testing.assert_allclose(got["scores"], want_scores, atol=1e-6)
+    np.testing.assert_allclose(got["boxes"], want_boxes, atol=1e-3)

@@ -105,3 +105,13 @@ def test_trainer_checkpoints(tmp_path, tiny):
     assert (tmp_path / "best.npz").exists()
     assert (tmp_path / "last.npz").exists()
     assert (tmp_path / "results.csv").read_text().startswith("epoch,")
+
+
+def test_trainer_validate(tmp_path, tiny):
+    from facedet_tpu.train.rtdetr_train import RtDetrTrainer
+
+    trainer = RtDetrTrainer(TINY, output_dir=str(tmp_path), image_size=64)
+    img = np.zeros((64, 64, 3), np.uint8)
+    dataset = [{"file_name": "a.jpg", "image_id": 1, "gt": [[10, 10, 20, 20]]}]
+    out = trainer.validate(dataset, lambda _: img)
+    assert set(out) >= {"map", "map50", "map75"}
