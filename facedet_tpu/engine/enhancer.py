@@ -46,12 +46,16 @@ def tiled_sr(
     scale: int,
     tile: int = 400,
     tile_pad: int = 10,
+    max_tiles_per_batch: int = 4,
 ) -> jax.Array:
     """Run SR function ``fn`` ([B,h,w,3] -> [B,h*scale,w*scale,3]) over a halo-
     padded static tile grid of ``image`` [H,W,3]; returns [H*scale, W*scale, 3].
 
-    All tiles are processed in ONE batched call (vs the reference's serial tile
-    loop, utils/enhancer.py:138-156)."""
+    Tiles are processed in fixed-size sub-batches via ``lax.map`` — one compile,
+    one dispatch, bounded activation memory (the x4 upsampled features of a
+    420-pixel window cost ~360MB bf16 per tile; the 16GB v5e fits ~4 at once
+    with headroom). This is the deterministic memory plan that replaces the
+    reference's CUDA-OOM halve-and-retry (utils/enhancer.py:216-229)."""
     h, w = image.shape[0], image.shape[1]
     if tile <= 0 or (h <= tile and w <= tile):
         return fn(image[None])[0]
@@ -69,7 +73,16 @@ def tiled_sr(
     tiles = jax.vmap(
         lambda o: jax.lax.dynamic_slice(padded, (o[0], o[1], 0), (win, win, 3))
     )(offs)
-    out = fn(tiles)  # [G, win*s, win*s, 3]
+    g = tiles.shape[0]
+    chunk = min(max_tiles_per_batch, g)
+    n_chunks = -(-g // chunk)
+    if n_chunks > 1:
+        pad_g = n_chunks * chunk - g
+        tiles = jnp.pad(tiles, ((0, pad_g), (0, 0), (0, 0), (0, 0)))
+        out = jax.lax.map(fn, tiles.reshape(n_chunks, chunk, win, win, 3))
+        out = out.reshape(n_chunks * chunk, win * scale, win * scale, 3)[:g]
+    else:
+        out = fn(tiles)  # [G, win*s, win*s, 3]
     p = tile_pad * scale
     core = out[:, p : p + tile * scale, p : p + tile * scale, :]
     core = core.reshape(gh, gw, tile * scale, tile * scale, 3)
@@ -150,21 +163,42 @@ class FaceEnhancer:
     def _net(self, x: jax.Array) -> jax.Array:
         return self._forward(self.variables, x)
 
-    def enhance_array(self, image: jax.Array, outscale: Optional[float] = None) -> jax.Array:
-        """Device path: [H,W,3] float in [0,1] -> enhanced float array."""
-        outscale = self.outscale if outscale is None else float(outscale)
+    def _enhance_pipeline(self, h: int, w: int, outscale: float):
+        """ONE jitted function for the whole tiled SR of an (h, w) image —
+        eager per-stage dispatch costs seconds over a remote TPU link."""
+        cache = self.__dict__.setdefault("_enh_cache", {})
+        key = (h, w, outscale, self.tile, self.tile_pad)
+        if key in cache:
+            return cache[key]
         s = self.cfg.scale
-        h, w = image.shape[0], image.shape[1]
         m = 2 if s == 2 else (4 if s == 1 else 1)
-        if h % m or w % m:  # pixel-unshuffle divisibility
-            image = jnp.pad(image, ((0, (-h) % m), (0, (-w) % m), (0, 0)), mode="reflect")
-        out = tiled_sr(self._net, image, s, self.tile, self.tile_pad)
-        out = out[: h * s, : w * s]
-        if abs(outscale - s) > 1e-6:
-            th, tw = int(round(h * outscale)), int(round(w * outscale))
-            out = jax.image.resize(out, (th, tw, 3), method="lanczos3")
-            out = jnp.clip(out, 0.0, 1.0)
-        return out
+
+        @jax.jit
+        def pipeline(variables, image):
+            def net(x):
+                return jnp.clip(self.model.apply(variables, x), 0.0, 1.0)
+
+            img = image
+            if h % m or w % m:  # pixel-unshuffle divisibility
+                img = jnp.pad(img, ((0, (-h) % m), (0, (-w) % m), (0, 0)), mode="reflect")
+            out = tiled_sr(net, img, s, self.tile, self.tile_pad)
+            out = out[: h * s, : w * s]
+            if abs(outscale - s) > 1e-6:
+                th, tw = int(round(h * outscale)), int(round(w * outscale))
+                out = jax.image.resize(out, (th, tw, 3), method="lanczos3")
+                out = jnp.clip(out, 0.0, 1.0)
+            return out
+
+        cache[key] = pipeline
+        return pipeline
+
+    def enhance_array(self, image: jax.Array, outscale: Optional[float] = None) -> jax.Array:
+        """Device path: [H,W,3] float in [0,1] -> enhanced float array
+        (single fused dispatch per image shape)."""
+        outscale = self.outscale if outscale is None else float(outscale)
+        h, w = int(image.shape[0]), int(image.shape[1])
+        pipeline = self._enhance_pipeline(h, w, outscale)
+        return pipeline(self.variables, image)
 
     def enhance_image(
         self, image: np.ndarray, outscale: Optional[float] = None
@@ -179,7 +213,9 @@ class FaceEnhancer:
             img = img[..., :3]
         x = jnp.asarray(img, jnp.float32) / 255.0
         out = self.enhance_array(x, outscale)
-        out8 = np.asarray(jnp.round(out * 255.0)).astype(np.uint8)
+        # quantise ON DEVICE: the x4 output is 16x the input pixels, so
+        # downloading f32 would move 4x more bytes than the uint8 result
+        out8 = np.asarray(jnp.round(out * 255.0).astype(jnp.uint8))
         dt = time.perf_counter() - t0
         self.stats["images"] += 1
         self.stats["seconds"] += dt
@@ -226,7 +262,7 @@ class FaceEnhancer:
         out = self.enhance_array(x, outscale)
         sc = (self.outscale if outscale is None else outscale)
         out = out[: int(round(h * sc)), : int(round(w * sc))]
-        save_image(output_path, np.asarray(jnp.round(out * 255.0), np.uint8), quality=jpeg_quality)
+        save_image(output_path, np.asarray(jnp.round(out * 255.0).astype(jnp.uint8)), quality=jpeg_quality)
         return True
 
     def get_model_info(self) -> dict:

