@@ -14,7 +14,6 @@ or ``None`` for random initialisation (benchmarks / tests).
 from __future__ import annotations
 
 import functools
-import os
 import time
 from typing import Any, Optional
 

@@ -307,18 +307,30 @@ class OfficialWiderFaceEvaluator:
         return boxes
 
     def run_inference_on_all_images(self) -> dict[str, dict[str, np.ndarray]]:
+        """Eval inference loop (eval/eval_official_widerface.py:254-278) with
+        native-decoder IO prefetch overlapping the device work."""
         predictions: dict[str, dict[str, np.ndarray]] = {}
-        for event, images in self.gt["facebox_list"].items():
-            predictions[event] = {}
-            for name in images:
-                path = os.path.join(self.images_path, event, f"{name}.jpg")
-                img = self._load_image(path)
-                if img is None:
-                    continue
-                t0 = time.perf_counter()
-                predictions[event][name] = self.run_single_inference(img)
-                self.timings["inference_s"] += time.perf_counter() - t0
-                self.timings["images"] += 1
+        items = [
+            (event, name, os.path.join(self.images_path, event, f"{name}.jpg"))
+            for event, images in self.gt["facebox_list"].items()
+            for name in images
+        ]
+        for event, _, _ in items:
+            predictions.setdefault(event, {})
+
+        if self.image_loader is not None:
+            loaded = ((path, self._load_image(path)) for _, _, path in items)
+        else:
+            from facedet_tpu.data.native_loader import prefetch_images
+
+            loaded = prefetch_images([path for _, _, path in items], num_workers=4)
+        for (event, name, _path), (_p, img) in zip(items, loaded):
+            if img is None:
+                continue
+            t0 = time.perf_counter()
+            predictions[event][name] = self.run_single_inference(img)
+            self.timings["inference_s"] += time.perf_counter() - t0
+            self.timings["images"] += 1
         return predictions
 
     # --- protocol -------------------------------------------------------
