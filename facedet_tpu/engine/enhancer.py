@@ -118,6 +118,7 @@ class FaceEnhancer:
         half: bool = True,
         device: Optional[str] = None,
         cfg: Optional[RRDBConfig] = None,
+        max_tiles_per_batch: int = 4,
     ):
         if cfg is None:
             if model_name not in MODEL_CATALOG:
@@ -139,6 +140,7 @@ class FaceEnhancer:
         self.outscale = float(outscale)
         self.tile = tile
         self.tile_pad = tile_pad
+        self.max_tiles_per_batch = max_tiles_per_batch
         self.device = device
         self.model = RRDBNet(cfg)
         if model_path is None:
@@ -181,7 +183,8 @@ class FaceEnhancer:
             img = image
             if h % m or w % m:  # pixel-unshuffle divisibility
                 img = jnp.pad(img, ((0, (-h) % m), (0, (-w) % m), (0, 0)), mode="reflect")
-            out = tiled_sr(net, img, s, self.tile, self.tile_pad)
+            out = tiled_sr(net, img, s, self.tile, self.tile_pad,
+                           self.max_tiles_per_batch)
             out = out[: h * s, : w * s]
             if abs(outscale - s) > 1e-6:
                 th, tw = int(round(h * outscale)), int(round(w * outscale))

@@ -88,3 +88,19 @@ def test_bucket_and_pad_offsets():
     assert b >= grid.num_tiles
     offs, valid = T.pad_grid_offsets(grid, b)
     assert offs.shape == (b, 2) and valid.sum() == grid.num_tiles
+
+
+def test_grid_matches_sahi_randomized():
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        h = int(rng.integers(100, 4000))
+        w = int(rng.integers(100, 4000))
+        s = int(rng.choice([320, 416, 512, 640, 800]))
+        ov = float(rng.choice([0.1, 0.2, 0.25, 0.3, 0.4]))
+        grid = T.compute_slice_grid(h, w, s, s, ov, ov)
+        golden = sahi_reference_grid(h, w, s, s, ov, ov)
+        golden_offsets = sorted(
+            {(max(0, b[1]), max(0, b[0])) for b in golden}
+        )
+        got = sorted({tuple(o) for o in grid.offsets.tolist()})
+        assert got == golden_offsets, (h, w, s, ov)
