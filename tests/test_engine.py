@@ -140,3 +140,23 @@ def test_sliced_prediction_batch_matches_single():
         _np.asarray(single.object_prediction_list[0].bbox.to_xyxy()),
         atol=1e-4,
     )
+
+
+def test_image_size_bucketing_shares_compilations():
+    # two different image sizes inside the same 256-bucket must reuse ONE
+    # fused compilation (the anti-recompile contract for variable-res streams)
+    model = FakeBlobDetector(confidence_threshold=0.5)
+    img_a = make_image(150, 200, [(30, 40)])
+    img_b = make_image(180, 230, [(90, 120)])  # same (256, 256) bucket
+    for img in (img_a, img_b):
+        r = get_sliced_prediction(
+            img, model, slice_height=64, slice_width=64, perform_standard_pred=False
+        )
+        assert len(r.object_prediction_list) == 1
+    assert len(model._fused_cache) == 1, list(model._fused_cache)
+    # a genuinely bigger image compiles a second variant
+    img_c = make_image(300, 500, [(150, 250)])
+    get_sliced_prediction(
+        img_c, model, slice_height=64, slice_width=64, perform_standard_pred=False
+    )
+    assert len(model._fused_cache) == 2
