@@ -91,6 +91,7 @@ def _clip_detections(det: Detections, h: jax.Array, w: jax.Array) -> Detections:
 def _get_fused_pipeline(
     detection_model: DetectionModel,
     key: tuple,
+    mesh=None,
 ):
     """Build (and cache on the model) ONE jitted function running the whole
     sliced pipeline on device: normalize -> pad -> tile gather -> detector
@@ -101,8 +102,9 @@ def _get_fused_pipeline(
     between every stage (docs sahi/predict.py:270-320), which over a remote
     TPU link costs ~100x the device compute."""
     cache = detection_model.__dict__.setdefault("_fused_cache", {})
-    if key in cache:
-        return cache[key]
+    cache_key = key + ((id(mesh),) if mesh is not None else ())
+    if cache_key in cache:
+        return cache[cache_key]
     (
         bucket_h,
         bucket_w,
@@ -126,6 +128,16 @@ def _get_fused_pipeline(
         )
         padded = imgf  # already padded to (bucket_h, bucket_w) on host
         tiles = gather_tiles(padded, offsets, slice_h, slice_w, use_pallas=use_pallas)
+        if mesh is not None:
+            # spatial/"context" parallelism (SURVEY.md §2.4): shard THIS
+            # image's tile batch over the mesh's tile axis; GSPMD partitions
+            # the detector forward across chips and all-gathers the per-tile
+            # detections before the (replicated) global merge over ICI
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            tiles = jax.lax.with_sharding_constraint(
+                tiles, NamedSharding(mesh, PartitionSpec("tile", None, None, None))
+            )
         det = detection_model.tile_forward(variables, tiles, conf)
         flat = _shift_and_flatten(det, offsets, tile_valid)
         parts = [flat]
@@ -154,6 +166,15 @@ def _get_fused_pipeline(
             )
             parts.append(full_det)
         combined = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            combined = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, PartitionSpec())
+                ),
+                combined,
+            )
         combined = _truncate_by_score(combined, capacity)
         merged = merge_detections(
             combined,
@@ -170,7 +191,7 @@ def _get_fused_pipeline(
         # whole same-size image batch (weights and tile grid broadcast)
         "batch": jax.jit(jax.vmap(core, in_axes=(None, 0, None, None, 0))),
     }
-    cache[key] = entry
+    cache[cache_key] = entry
     return entry
 
 
@@ -198,6 +219,7 @@ def _dispatch_sliced(
     auto_slice_resolution,
     merge_capacity,
     use_pallas_gather,
+    mesh=None,
 ):
     """Asynchronously dispatch the fused sliced pipeline for one image.
 
@@ -242,7 +264,7 @@ def _dispatch_sliced(
         img_size,
         bool(use_pallas_gather),
     )
-    fused = _get_fused_pipeline(detection_model, key)
+    fused = _get_fused_pipeline(detection_model, key, mesh=mesh)
     if isinstance(img, np.ndarray):
         if img.shape[0] != bucket_h or img.shape[1] != bucket_w:
             img_padded = np.zeros((bucket_h, bucket_w, img.shape[2]), img.dtype)
@@ -255,18 +277,35 @@ def _dispatch_sliced(
             img,
             ((0, bucket_h - img.shape[0]), (0, bucket_w - img.shape[1]), (0, 0)),
         )
-    device = getattr(img_dev, "devices", lambda: None)()
-    if device:  # keep aux inputs on the image's (possibly non-default) device
-        dev = next(iter(device))
-        offsets_dev = jax.device_put(jnp.asarray(offsets), dev)
-        tile_valid_dev = jax.device_put(jnp.asarray(tile_valid), dev)
-        true_hw = jax.device_put(jnp.asarray([h, w], jnp.float32), dev)
+    if mesh is not None:
+        # replicate inputs over the mesh; the in-jit constraints shard tiles
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        img_dev = jax.device_put(img_dev, rep)
+        offsets_dev = jax.device_put(jnp.asarray(offsets), rep)
+        tile_valid_dev = jax.device_put(jnp.asarray(tile_valid), rep)
+        true_hw = jax.device_put(jnp.asarray([h, w], jnp.float32), rep)
+        if getattr(detection_model, "_mesh_vars", None) is None or detection_model._mesh_vars[0] is not mesh:
+            detection_model._mesh_vars = (
+                mesh,
+                jax.device_put(detection_model.variables, rep),
+            )
+        variables = detection_model._mesh_vars[1]
     else:
-        offsets_dev = jnp.asarray(offsets)
-        tile_valid_dev = jnp.asarray(tile_valid)
-        true_hw = jnp.asarray([h, w], jnp.float32)
+        variables = detection_model.variables
+        device = getattr(img_dev, "devices", lambda: None)()
+        if device:  # keep aux inputs on the image's (possibly non-default) device
+            dev = next(iter(device))
+            offsets_dev = jax.device_put(jnp.asarray(offsets), dev)
+            tile_valid_dev = jax.device_put(jnp.asarray(tile_valid), dev)
+            true_hw = jax.device_put(jnp.asarray([h, w], jnp.float32), dev)
+        else:
+            offsets_dev = jnp.asarray(offsets)
+            tile_valid_dev = jnp.asarray(tile_valid)
+            true_hw = jnp.asarray([h, w], jnp.float32)
     merged_dev = fused["single"](
-        detection_model.variables,
+        variables,
         img_dev,
         offsets_dev,
         tile_valid_dev,
@@ -455,6 +494,7 @@ def get_sliced_prediction(
     merge_capacity: int = 1024,
     merge_buffer_length: Optional[int] = None,
     use_pallas_gather: bool = False,
+    mesh=None,
     verbose: int = 0,
 ) -> PredictionResult:
     """Sliced inference with global merge (docs sahi/predict.py:142).
@@ -484,6 +524,7 @@ def get_sliced_prediction(
         auto_slice_resolution,
         merge_capacity,
         use_pallas_gather,
+        mesh=mesh,
     )
     h, w = img.shape[:2]
     slice_height = slice_height or grid.slice_h

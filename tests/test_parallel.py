@@ -79,3 +79,22 @@ def test_sharded_train_step_runs():
     # params stay FSDP-sharded after the step
     leaf = params["backbone"]["stem"]["conv"]["kernel"]
     assert leaf.shape[-1] % 1 == 0
+
+
+def test_tile_sharded_sliced_prediction_matches_unsharded():
+    import numpy as np
+    from facedet_tpu.engine.fake import FakeBlobDetectionModel
+    from facedet_tpu.engine.predict import get_sliced_prediction
+
+    mesh = create_mesh(8)  # tile axis size 2
+    img = np.zeros((150, 200, 3), np.uint8)
+    for y, x in [(30, 40), (120, 180)]:
+        img[y - 1 : y + 2, x - 1 : x + 2] = 255
+    model = FakeBlobDetectionModel(confidence_threshold=0.5)
+    kw = dict(slice_height=64, slice_width=64, overlap_height_ratio=0.25,
+              overlap_width_ratio=0.25, perform_standard_pred=False)
+    plain = get_sliced_prediction(img, model, **kw)
+    sharded = get_sliced_prediction(img, model, mesh=mesh, **kw)
+    a = sorted(tuple(np.round(p.bbox.to_xyxy(), 3)) for p in plain.object_prediction_list)
+    b = sorted(tuple(np.round(p.bbox.to_xyxy(), 3)) for p in sharded.object_prediction_list)
+    assert a == b and len(a) == 2
