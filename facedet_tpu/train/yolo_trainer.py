@@ -77,20 +77,71 @@ class YoloDataset:
                     (cy + bh / 2) * s,
                 ]
                 mask[i] = True
-        if self.augment and self.rng.random() < 0.5:  # horizontal flip
+        if self.augment and self.rng.random() < 0.5:  # fliplr (ref fliplr=0.5)
             imgr = imgr[:, ::-1].copy()
             x1 = boxes[:, 0].copy()
             boxes[:, 0] = s - boxes[:, 2]
             boxes[:, 2] = s - x1
+        if self.augment:
+            imgr = self._hsv_jitter(imgr)
         return imgr, boxes, mask
 
-    def batches(self, batch_size: int, shuffle: bool = True) -> Iterator[tuple]:
+    def _hsv_jitter(self, img, h_gain=0.015, s_gain=0.7, v_gain=0.4):
+        """Approximate HSV colour jitter (reference train config hsv_h/s/v,
+        pipeline_v3_RTDETR/train_rtdetr.py:191-207): value scale, saturation
+        blend toward gray, small hue rotation via channel mixing."""
+        r = self.rng.uniform(-1, 1, 3) * [h_gain, s_gain, v_gain] + 1.0
+        out = img * r[2]
+        gray = out.mean(-1, keepdims=True)
+        out = gray + (out - gray) * r[1]
+        out = out + (np.roll(out, 1, axis=-1) - out) * (r[0] - 1.0)
+        return np.clip(out, 0, 1).astype(np.float32)
+
+    def _mosaic(self, indices):
+        """4-image mosaic (reference mosaic=1.0): quadrants of a 2S canvas,
+        rescaled to S, boxes remapped and clipped."""
+        s = self.image_size
+        canvas = np.zeros((2 * s, 2 * s, 3), np.float32)
+        boxes_all, mask_all = [], []
+        for q, idx in enumerate(indices):
+            img, boxes, mask = self._load(self.items[idx])
+            oy, ox = (q // 2) * s, (q % 2) * s
+            canvas[oy : oy + s, ox : ox + s] = img
+            b = boxes.copy()
+            b[:, [0, 2]] += ox
+            b[:, [1, 3]] += oy
+            boxes_all.append(b[mask])
+        import jax.image
+
+        small = np.asarray(
+            jax.image.resize(jnp.asarray(canvas), (s, s, 3), "bilinear")
+        )
+        merged = (
+            np.concatenate(boxes_all, 0) / 2.0 if boxes_all else np.zeros((0, 4))
+        )
+        boxes = np.zeros((self.max_boxes, 4), np.float32)
+        mask = np.zeros((self.max_boxes,), bool)
+        n = min(len(merged), self.max_boxes)
+        boxes[:n] = merged[:n]
+        mask[:n] = True
+        return small, boxes, mask
+
+    def batches(
+        self, batch_size: int, shuffle: bool = True, mosaic_prob: float = 0.5
+    ) -> Iterator[tuple]:
         order = np.arange(len(self.items))
         if shuffle:
             self.rng.shuffle(order)
+
+        def sample(i):
+            if self.augment and len(self.items) >= 4 and self.rng.random() < mosaic_prob:
+                idxs = [i] + list(self.rng.integers(0, len(self.items), 3))
+                return self._mosaic(idxs)
+            return self._load(self.items[i])
+
         # drop remainder: static batch shapes
         for start in range(0, len(order) - batch_size + 1, batch_size):
-            chunk = [self._load(self.items[i]) for i in order[start : start + batch_size]]
+            chunk = [sample(i) for i in order[start : start + batch_size]]
             imgs, boxes, masks = (np.stack([c[j] for c in chunk]) for j in range(3))
             kpts = np.zeros((batch_size, self.max_boxes, 5, 3), np.float32)
             yield (

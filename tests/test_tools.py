@@ -121,3 +121,34 @@ def test_yolo_dataset_and_trainer(tmp_path):
     assert out["epochs"] == 1
     assert (tmp_path / "run" / "best.npz").exists()
     assert (tmp_path / "run" / "results.csv").exists()
+
+
+def test_yolo_dataset_augmentations(tmp_path):
+    from facedet_tpu.train.yolo_trainer import YoloDataset
+    from facedet_tpu.utils.viz import save_image
+
+    images = tmp_path / "images"
+    labels = tmp_path / "labels"
+    images.mkdir()
+    labels.mkdir()
+    for i in range(4):
+        save_image(str(images / f"im{i}.jpg"), make_image(80, 80, [(40, 40)]))
+        (labels / f"im{i}.txt").write_text("0 0.5 0.5 0.25 0.25\n")
+    ds = YoloDataset(str(images), str(labels), image_size=64, max_boxes=8, augment=True, seed=3)
+    imgs, boxes, mask, kpts = next(iter(ds.batches(4, shuffle=False, mosaic_prob=1.0)))
+    assert imgs.shape == (4, 64, 64, 3)
+    # every mosaic sample carries 4 merged GT boxes
+    assert int(np.asarray(mask).sum(axis=1).min()) == 4
+    b = np.asarray(boxes)[np.asarray(mask)]
+    assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+    assert b.max() <= 64.0 + 1e-3
+
+    # mosaic geometry: each quadrant's box center maps to its quadrant
+    m_img, m_boxes, m_mask = ds._mosaic([0, 1, 2, 3])
+    centers = (m_boxes[m_mask][:, :2] + m_boxes[m_mask][:, 2:]) / 2
+    quads = {(int(cx > 32), int(cy > 32)) for cx, cy in centers}
+    assert len(quads) == 4
+
+    # hsv jitter keeps range and shape
+    out = ds._hsv_jitter(np.full((8, 8, 3), 0.5, np.float32))
+    assert out.shape == (8, 8, 3) and out.min() >= 0 and out.max() <= 1
