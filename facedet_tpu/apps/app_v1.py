@@ -21,6 +21,7 @@ def main(argv=None):
     ap.add_argument("--outscale", type=float, default=4.0)
     ap.add_argument("--no-enhance", action="store_true")
     args = ap.parse_args(argv)
+    inputs = list_inputs(args.input)
     model = build_detector(
         DetectorConfig(
             family=args.family,
@@ -31,7 +32,7 @@ def main(argv=None):
         )
     )
     enhancer = None if args.no_enhance else build_enhancer(EnhancerConfig(outscale=args.outscale))
-    for path in list_inputs(args.input):
+    for path in inputs:
         name = os.path.splitext(os.path.basename(path))[0]
         out_dir = os.path.join(args.output, name)
         image = load_image(path)

@@ -19,6 +19,7 @@ def main(argv=None):
     ap = base_parser("Enhance-first pipeline: full-image SR then SAHI detection")
     ap.add_argument("--outscale", type=float, default=4.0)
     args = ap.parse_args(argv)
+    inputs = list_inputs(args.input)
     model = build_detector(
         DetectorConfig(
             family=args.family,
@@ -29,7 +30,7 @@ def main(argv=None):
         )
     )
     enhancer = build_enhancer(EnhancerConfig(outscale=args.outscale))
-    for path in list_inputs(args.input):
+    for path in inputs:
         name = os.path.splitext(os.path.basename(path))[0]
         image = load_image(path)
         result = enhance_first_pipeline(image, model, enhancer, slice_policy="fixed_grid")

@@ -27,6 +27,7 @@ def main(argv=None):
 
     ap = base_parser("Enhance-first (x2) + SAHI detection, enhanced-coords output")
     args = ap.parse_args(argv)
+    inputs = list_inputs(args.input)
     model = build_detector(
         DetectorConfig(
             family=args.family,
@@ -39,7 +40,7 @@ def main(argv=None):
     enhancer = build_enhancer(
         EnhancerConfig(model_name="RealESRGAN_x2plus", outscale=2.0)
     )
-    for path in list_inputs(args.input):
+    for path in inputs:
         name = os.path.splitext(os.path.basename(path))[0]
         out_dir = os.path.join(args.output, name)
         image = load_image(path)

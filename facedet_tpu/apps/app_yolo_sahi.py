@@ -70,6 +70,7 @@ def main(argv=None):
 
     ap = base_parser("YOLOv11 + SAHI batch face detection")
     args = ap.parse_args(argv)
+    inputs = list_inputs(args.input)
     model = build_detector(
         DetectorConfig(
             family=args.family,
@@ -80,7 +81,7 @@ def main(argv=None):
         )
     )
     stats = []
-    for path in list_inputs(args.input):
+    for path in inputs:
         s = process_single_image(path, model, args.output, args.slice, args.overlap)
         print(f"{s['image']}: {s['faces']} faces in {s['seconds']:.2f}s")
         stats.append(s)

@@ -69,11 +69,18 @@ def base_parser(description: str) -> argparse.ArgumentParser:
 
 
 def list_inputs(path: str) -> list[str]:
+    """Resolve an image file or folder; fail fast with a clean message BEFORE
+    any model loads (model init costs ~a minute on a remote TPU)."""
     exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
     if os.path.isfile(path):
         return [path]
-    return sorted(
+    if not os.path.isdir(path):
+        raise SystemExit(f"error: input path does not exist: {path}")
+    files = sorted(
         os.path.join(path, f)
         for f in os.listdir(path)
         if f.lower().endswith(exts)
     )
+    if not files:
+        raise SystemExit(f"error: no images found in {path}")
+    return files

@@ -169,16 +169,18 @@ class DetectionModel:
         kpts = np.asarray(det.kpts).copy()
         kpts[..., 0] += sx
         kpts[..., 1] += sy
+        valid = np.asarray(det.valid) & (np.asarray(det.scores) >= self.confidence_threshold)
         if full_shape is not None:
             h, w = full_shape
             boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
             boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
+            valid &= (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
         shifted = Detections(
             boxes=jnp.asarray(boxes),
             scores=det.scores,
             classes=det.classes,
             kpts=jnp.asarray(kpts),
-            valid=det.valid & (det.scores >= self.confidence_threshold),
+            valid=jnp.asarray(valid),
         )
         self._object_prediction_list = detections_to_object_predictions(
             shifted, self.category_mapping, full_shape

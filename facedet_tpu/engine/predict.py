@@ -79,12 +79,15 @@ def _truncate_by_score(det: Detections, capacity: int) -> Detections:
 def _clip_detections(det: Detections, h: jax.Array, w: jax.Array) -> Detections:
     from facedet_tpu.core.boxes import clip_boxes
 
+    boxes = clip_boxes(det.boxes, h, w)
+    # drop boxes that clipping degenerated to zero area (fully outside image)
+    nonzero = (boxes[..., 2] > boxes[..., 0]) & (boxes[..., 3] > boxes[..., 1])
     return Detections(
-        boxes=clip_boxes(det.boxes, h, w),
+        boxes=boxes,
         scores=det.scores,
         classes=det.classes,
         kpts=det.kpts,
-        valid=det.valid,
+        valid=det.valid & nonzero,
     )
 
 
