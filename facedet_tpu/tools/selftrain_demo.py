@@ -1,0 +1,120 @@
+"""Self-contained learning proof: train YOLOv11-n on synthetic face-like
+blobs and show COCO mAP going from ~0 to high.
+
+There are no WIDERFACE images or pretrained weights in this environment, so
+this demo is the end-to-end evidence that the training stack (TAL assigner,
+DFL/IoU/cls losses, optimizer, decode, NMS, COCO scorer) actually LEARNS —
+the synthetic analog of the reference's train->val flow
+(pipeline_v3_RTDETR/train_rtdetr.py:162-241).
+
+Run: python -m facedet_tpu.tools.selftrain_demo [--steps 300]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_blob_dataset(n_images: int, size: int = 96, max_boxes: int = 4, seed: int = 0):
+    """Bright ellipse 'faces' on dark textured background + exact GT boxes."""
+    rng = np.random.default_rng(seed)
+    images = np.zeros((n_images, size, size, 3), np.float32)
+    boxes = np.zeros((n_images, max_boxes, 4), np.float32)
+    masks = np.zeros((n_images, max_boxes), bool)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for i in range(n_images):
+        img = rng.uniform(0.0, 0.25, (size, size, 3)).astype(np.float32)
+        k = int(rng.integers(1, max_boxes))
+        for j in range(k):
+            r = int(rng.integers(8, 16))
+            cy = int(rng.integers(r + 2, size - r - 2))
+            cx = int(rng.integers(r + 2, size - r - 2))
+            m = ((yy - cy) ** 2 + (xx - cx) ** 2) <= r * r
+            color = rng.uniform(0.7, 1.0, 3)
+            img[m] = color
+            boxes[i, j] = [cx - r, cy - r, cx + r, cy + r]
+            masks[i, j] = True
+        images[i] = img
+    return images, boxes, masks
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--size", type=int, default=96)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    args = ap.parse_args(argv)
+
+    from facedet_tpu.engine.detector import YoloV11PoseDetectionModel
+    from facedet_tpu.models.yolov11 import YoloConfig, YoloV11
+    from facedet_tpu.tools.misc import validate_detector
+    from facedet_tpu.train.yolo_train import make_optimizer, make_train_step
+    from facedet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    images, boxes, masks = make_blob_dataset(64, args.size)
+    val_images, val_boxes, val_masks = make_blob_dataset(16, args.size, seed=99)
+    val_dataset = [
+        {
+            "image_id": i,
+            "file_name": f"val_{i}",
+            "gt": [
+                [b[0], b[1], b[2] - b[0], b[3] - b[1]]
+                for b, m in zip(val_boxes[i], val_masks[i])
+                if m
+            ],
+        }
+        for i in range(len(val_images))
+    ]
+    val_loader = lambda name: val_images[int(name.split("_")[1])]
+
+    cfg = YoloConfig(scale="n", num_classes=1, with_pose=True)
+    model = YoloV11(cfg)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, args.size, args.size, 3)), train=False
+        )
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = make_optimizer(lr=args.lr, warmup_steps=20)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx)
+
+    def detector_of(params, batch_stats):
+        det = YoloV11PoseDetectionModel(
+            scale="n", dtype="float32", confidence_threshold=0.25,
+            image_size=args.size, load_at_init=False,
+        )
+        det.cfg = cfg
+        det.model = model
+        det.variables = {"params": params, "batch_stats": batch_stats}
+        return det
+
+    before = validate_detector(detector_of(params, batch_stats), val_dataset, val_loader)
+    print(f"mAP50 before training: {before['map50']:.4f}")
+
+    rng = np.random.default_rng(1)
+    kpts = jnp.zeros((args.batch, boxes.shape[1], 5, 3))
+    t0 = time.perf_counter()
+    for it in range(args.steps):
+        idx = rng.integers(0, len(images), args.batch)
+        params, batch_stats, opt_state, loss, parts = step(
+            params, batch_stats, opt_state,
+            jnp.asarray(images[idx]), jnp.asarray(boxes[idx]),
+            jnp.asarray(masks[idx]), kpts,
+        )
+        if it % 50 == 0 or it == args.steps - 1:
+            print(f"step {it}: loss {float(loss):.4f}")
+    print(f"trained {args.steps} steps in {time.perf_counter() - t0:.1f}s")
+
+    after = validate_detector(detector_of(params, batch_stats), val_dataset, val_loader)
+    print(f"mAP50 after training: {after['map50']:.4f} (map {after['map']:.4f})")
+    return {"before": before, "after": after}
+
+
+if __name__ == "__main__":
+    main()
