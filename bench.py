@@ -18,8 +18,13 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
+import os
+import threading
 import time
+
+# best-so-far results, shared with the watchdog (the tunneled TPU link can
+# hang outright; a partial number beats an empty driver record)
+_PROGRESS = {"ips": 0.0, "p50": None, "complete": False}
 
 # Measured with `python bench.py --cpu` on this host (see module docstring).
 CPU_REFERENCE_IPS = 0.26
@@ -87,6 +92,7 @@ def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2):
             one(i)
             lat.append(time.perf_counter() - t0)
         p50 = min(p50, sorted(lat)[len(lat) // 2])
+        _PROGRESS["p50"] = p50
 
     # throughput: batched dispatch (4 images/dispatch, raw detections) —
     # amortises host-link overhead; the serving-throughput configuration
@@ -102,17 +108,39 @@ def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2):
             get_sliced_prediction_batch([img] * bsz, model, raw=True, **cfg)
             n_done += bsz
         ips = max(ips, n_done / (time.perf_counter() - t_start))
+        _PROGRESS["ips"] = ips
     return ips, p50
+
+
+def _emit(ips, p50, complete=True):
+    out = {
+        "metric": "widerface_sahi640_images_per_sec",
+        "value": round(ips, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / CPU_REFERENCE_IPS, 2),
+        "p50_latency_s": round(p50, 4) if p50 is not None else None,
+    }
+    if not complete:
+        out["incomplete"] = True  # watchdog fired mid-run (TPU link stall)
+    print(json.dumps(out), flush=True)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=16)
     ap.add_argument("--cpu", action="store_true", help="measure the CPU baseline")
+    ap.add_argument("--watchdog", type=int, default=480, help="seconds before emitting best-so-far and exiting (0 = off)")
     args = ap.parse_args()
-    if args.cpu:
-        import os
 
+    if args.watchdog and not args.cpu:
+        def _bail():
+            time.sleep(args.watchdog)
+            if not _PROGRESS["complete"]:
+                _emit(_PROGRESS["ips"], _PROGRESS["p50"], complete=False)
+                os._exit(0)
+
+        threading.Thread(target=_bail, daemon=True).start()
+    if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["JAX_PLATFORM_NAME"] = "cpu"
         import jax
@@ -120,14 +148,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     ips, p50 = run_bench(args.images)
-    out = {
-        "metric": "widerface_sahi640_images_per_sec",
-        "value": round(ips, 4),
-        "unit": "images/sec",
-        "vs_baseline": round(ips / CPU_REFERENCE_IPS, 2),
-        "p50_latency_s": round(p50, 4),
-    }
-    print(json.dumps(out))
+    _PROGRESS["complete"] = True
+    _emit(ips, p50)
 
 
 if __name__ == "__main__":
