@@ -13,6 +13,7 @@ the device forward/backward.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Iterable
@@ -26,6 +27,8 @@ from facedet_tpu.models.rtdetr import RtDetr, RtDetrConfig
 
 __all__ = [
     "hungarian_match",
+    "greedy_match",
+    "match_assignments",
     "rtdetr_loss",
     "make_rtdetr_train_step",
     "RtDetrTrainer",
@@ -55,6 +58,62 @@ def hungarian_match(cost: jax.Array) -> jax.Array:
         )
 
     return jax.vmap(one)(cost)
+
+
+def greedy_match(cost: jax.Array) -> jax.Array:
+    """Pure-JAX greedy bipartite matching: repeatedly take the global minimum
+    cost pair, masking its row/column. A standard on-device approximation of
+    Hungarian assignment (exact when cost rows are well separated — the usual
+    DETR regime after a few epochs). Used where host callbacks are unavailable
+    (this environment's TPU plugin rejects jax.pure_callback)."""
+
+    def one(c):  # [Q, M]
+        q, m = c.shape
+
+        def body(_, state):
+            cm, assign = state
+            flat = jnp.argmin(cm)
+            qi = (flat // m).astype(jnp.int32)
+            mi = (flat % m).astype(jnp.int32)
+            assign = assign.at[mi].set(qi)
+            cm = cm.at[qi, :].set(jnp.inf)
+            cm = cm.at[:, mi].set(jnp.inf)
+            return cm, assign
+
+        _, assign = jax.lax.fori_loop(
+            0, min(q, m), body, (c, jnp.full((m,), -1, jnp.int32))
+        )
+        return assign
+
+    return jax.vmap(one)(cost)
+
+
+@functools.lru_cache(maxsize=1)
+def callbacks_supported() -> bool:
+    """Probe whether the active backend supports host callbacks (the axon TPU
+    plugin raises UNIMPLEMENTED for pure_callback)."""
+    try:
+        f = jax.jit(
+            lambda x: jax.pure_callback(
+                lambda v: np.asarray(v, np.float32), jax.ShapeDtypeStruct((), jnp.float32), x
+            )
+        )
+        jax.block_until_ready(f(jnp.float32(1.0)))
+        return True
+    except Exception:
+        return False
+
+
+def match_assignments(cost: jax.Array, matcher: str = "auto") -> jax.Array:
+    """Dispatch: 'hungarian' (scipy via callback), 'greedy' (on-device), or
+    'auto' (hungarian where callbacks work, else greedy)."""
+    if matcher == "auto":
+        matcher = "hungarian" if callbacks_supported() else "greedy"
+    if matcher == "hungarian":
+        return hungarian_match(cost)
+    if matcher == "greedy":
+        return greedy_match(cost)
+    raise ValueError(f"unknown matcher {matcher!r}")
 
 
 def _cxcywh_to_xyxy(b):
@@ -93,7 +152,7 @@ def _layer_loss(logits, boxes, gt_boxes, gt_mask, cls_weight, box_weight, giou_w
     )
     cost = cost_cls * 2.0 + l1 * 5.0 - giou * 2.0
     cost = jnp.where(gt_mask[:, None, :], cost, 1e6)
-    assign = hungarian_match(jax.lax.stop_gradient(cost))  # [B, M]
+    assign = match_assignments(jax.lax.stop_gradient(cost))  # [B, M]
 
     valid = gt_mask & (assign >= 0)
     a_safe = jnp.maximum(assign, 0)

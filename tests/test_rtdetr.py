@@ -115,3 +115,14 @@ def test_trainer_validate(tmp_path, tiny):
     dataset = [{"file_name": "a.jpg", "image_id": 1, "gt": [[10, 10, 20, 20]]}]
     out = trainer.validate(dataset, lambda _: img)
     assert set(out) >= {"map", "map50", "map75"}
+
+
+def test_greedy_match_agrees_with_hungarian_when_separated():
+    from facedet_tpu.train.rtdetr_train import greedy_match, hungarian_match
+
+    # well-separated costs: greedy == hungarian
+    cost = jnp.array([[[0.1, 9.0, 9.0], [9.0, 0.2, 9.0], [9.0, 9.0, 0.3], [5.0, 5.0, 5.0]]])
+    g = np.asarray(greedy_match(cost))
+    h = np.asarray(hungarian_match(cost))
+    np.testing.assert_array_equal(g, h)
+    assert list(g[0]) == [0, 1, 2]
