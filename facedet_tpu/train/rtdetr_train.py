@@ -106,9 +106,13 @@ def callbacks_supported() -> bool:
 
 def match_assignments(cost: jax.Array, matcher: str = "auto") -> jax.Array:
     """Dispatch: 'hungarian' (scipy via callback), 'greedy' (on-device), or
-    'auto' (hungarian where callbacks work, else greedy)."""
+    'auto'. Auto picks hungarian only on CPU: accelerators get the on-device
+    greedy matcher — it avoids host round-trips entirely, and this
+    environment's TPU plugin rejects host callbacks outright (its probe result
+    is also flaky across link phases, so the platform check is authoritative)."""
     if matcher == "auto":
-        matcher = "hungarian" if callbacks_supported() else "greedy"
+        on_cpu = jax.devices()[0].platform == "cpu"
+        matcher = "hungarian" if on_cpu and callbacks_supported() else "greedy"
     if matcher == "hungarian":
         return hungarian_match(cost)
     if matcher == "greedy":
