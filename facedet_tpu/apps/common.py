@@ -8,6 +8,15 @@ from facedet_tpu.utils.config import DetectorConfig, EnhancerConfig
 
 
 def build_detector(cfg: DetectorConfig):
+    if cfg.family == "fake":
+        # deterministic blob detector (engine/fake.py) — lets every CLI and
+        # evaluator run end-to-end without weights (tests, smoke checks)
+        from facedet_tpu.engine.fake import FakeBlobDetectionModel
+
+        return FakeBlobDetectionModel(
+            confidence_threshold=cfg.confidence_threshold,
+            image_size=cfg.image_size,
+        )
     if cfg.family == "yolov11":
         from facedet_tpu.engine.detector import YoloV11PoseDetectionModel
 
@@ -58,7 +67,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     ap.add_argument("--input", default="data/input", help="image file or folder")
     ap.add_argument("--output", default="data/output")
     ap.add_argument("--model-path", default=None, help=".npz / .pt checkpoint")
-    ap.add_argument("--family", default="yolov11", choices=["yolov11", "scrfd", "rtdetr"])
+    ap.add_argument(
+        "--family", default="yolov11", choices=["yolov11", "scrfd", "rtdetr", "fake"]
+    )
     ap.add_argument("--scale", default="s", help="yolo model scale n/s/m/l/x")
     ap.add_argument("--conf", type=float, default=0.3)
     ap.add_argument("--imgsz", type=int, default=640)

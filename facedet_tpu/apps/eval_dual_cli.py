@@ -26,11 +26,13 @@ def main(argv=None):
     ap.add_argument("--subcategory-gt", default=None, help="subcategory_gt.json")
     ap.add_argument("--gt-txt", default=None, help="build subcategory GT from this txt")
     ap.add_argument("--model-path", default=None)
-    ap.add_argument("--family", default="yolov11")
+    ap.add_argument("--family", default="yolov11", choices=["yolov11", "scrfd", "rtdetr", "fake"])
     ap.add_argument("--scale", default="s")
     ap.add_argument("--no-sahi", action="store_true")
     ap.add_argument("--slice", type=int, default=640)
     ap.add_argument("--overlap", type=float, default=0.2)
+    ap.add_argument("--no-standard-pred", action="store_true",
+                    help="disable the full-image pass fused into SAHI merges")
     ap.add_argument("--enhance", action="store_true")
     ap.add_argument("--conf", type=float, default=0.01)
     ap.add_argument("--output", default="output")
@@ -75,6 +77,7 @@ def main(argv=None):
                 slice_width=args.slice,
                 overlap_height_ratio=args.overlap,
                 overlap_width_ratio=args.overlap,
+                perform_standard_pred=not args.no_standard_pred,
                 postprocess_type="NMS",
                 postprocess_match_metric="IOU",
                 postprocess_match_threshold=0.5,

@@ -18,12 +18,14 @@ def main(argv=None):
     ap.add_argument("--gt-mat", default=None, help="dir with wider_face_val.mat etc.")
     ap.add_argument("--gt-txt", default=None, help="wider_face_val_bbx_gt.txt (no-scipy path)")
     ap.add_argument("--model-path", default=None)
-    ap.add_argument("--family", default="yolov11", choices=["yolov11", "scrfd", "rtdetr"])
+    ap.add_argument("--family", default="yolov11", choices=["yolov11", "scrfd", "rtdetr", "fake"])
     ap.add_argument("--scale", default="s")
     ap.add_argument("--no-sahi", action="store_true")
     ap.add_argument("--slicing", default="uniform", choices=["uniform", "adaptive"])
     ap.add_argument("--slice", type=int, default=640)
     ap.add_argument("--overlap", type=float, default=0.2)
+    ap.add_argument("--no-standard-pred", action="store_true",
+                    help="disable the full-image pass fused into SAHI merges")
     ap.add_argument("--enhance", action="store_true")
     ap.add_argument("--bounded", action="store_true", help="bounded enhancement gate")
     ap.add_argument("--conf", type=float, default=0.01)
@@ -53,6 +55,7 @@ def main(argv=None):
             "overlap_ratio": args.overlap,
         },
         enhancer=enhancer,
+        perform_standard_pred=not args.no_standard_pred,
         bounded_enhancement=args.bounded,
         inference_confidence=args.conf,
         output_dir=args.output,
