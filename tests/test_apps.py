@@ -208,3 +208,56 @@ def test_batch_predict_class_exclusion(input_dir, tmp_path):
     assert preds == []  # everything excluded
     with _pytest.raises(NotImplementedError):
         predict(detection_model=model, source="clip.mp4")
+
+
+def test_batch_predict_coco_export(input_dir, tmp_path):
+    import json as _json
+
+    from facedet_tpu.data.widerface import convert_widerface_to_coco
+    from facedet_tpu.engine.batch_predict import predict
+
+    # minimal COCO dataset json over the two fixture images
+    coco = {
+        "images": [
+            {"id": 11, "file_name": "one.jpg", "width": 120, "height": 100},
+            {"id": 22, "file_name": "two.jpg", "width": 100, "height": 90},
+        ],
+        "annotations": [],
+        "categories": [{"id": 0, "name": "face"}],
+    }
+    coco_path = tmp_path / "ds.json"
+    coco_path.write_text(_json.dumps(coco))
+    model = FakeBlobDetectionModel(confidence_threshold=0.5)
+    out = predict(
+        detection_model=model,
+        source=str(input_dir),
+        dataset_json_path=str(coco_path),
+        slice_height=64,
+        slice_width=64,
+        novisual=True,
+        project=str(tmp_path / "runs"),
+        verbose=0,
+    )
+    results = _json.load(open(os.path.join(out["export_dir"], "result.json")))
+    assert {r["image_id"] for r in results} == {11, 22}
+    assert all(len(r["bbox"]) == 4 and "score" in r for r in results)
+
+
+def test_predict_stream_mixed_sizes():
+    from facedet_tpu.engine.predict import predict_stream
+
+    model = FakeBlobDetectionModel(confidence_threshold=0.5)
+    imgs = [
+        make_image(100, 120, [(30, 40)]),
+        make_image(220, 300, [(150, 200)]),  # different bucket
+        make_image(110, 130, [(60, 70)]),    # back to the first bucket
+    ]
+    results = list(
+        predict_stream(imgs, model, window=2, slice_height=64, slice_width=64,
+                       perform_standard_pred=False)
+    )
+    assert [len(r.object_prediction_list) for r in results] == [1, 1, 1]
+    for r, (dy, dx) in zip(results, [(30, 40), (150, 200), (60, 70)]):
+        p = r.object_prediction_list[0]
+        assert abs((p.bbox.minx + p.bbox.maxx) / 2 - dx) <= 1.5
+        assert abs((p.bbox.miny + p.bbox.maxy) / 2 - dy) <= 1.5
