@@ -8,18 +8,39 @@ for the full pipeline), which de-flakes benchmarks and CLI start-up.
 """
 from __future__ import annotations
 
+import hashlib
 import os
 
-DEFAULT_CACHE_DIR = os.path.join(
+DEFAULT_CACHE_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     ".jax_cache",
 )
 
 
+def _machine_fingerprint() -> str:
+    """Host-CPU fingerprint scoping the cache directory. XLA:CPU AOT results
+    bake in the compile host's machine features; loading one on a different
+    host risks SIGILL (cpu_aot_loader refuses/Warns). Containers migrate
+    between hosts across rounds, so entries must not outlive the host."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import jax
+
+                    key = line + jax.__version__
+                    return hashlib.sha1(key.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "unknown"
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
     import jax
 
-    cache_dir = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR", DEFAULT_CACHE_DIR)
+    cache_dir = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache_dir is None:
+        cache_dir = os.path.join(DEFAULT_CACHE_ROOT, _machine_fingerprint())
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
