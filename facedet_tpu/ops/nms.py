@@ -33,7 +33,11 @@ from facedet_tpu.core.detections import Detections
 
 __all__ = ["merge_detections", "nms", "greedy_keep_mask", "POSTPROCESS_TYPES"]
 
-POSTPROCESS_TYPES = ("NMS", "NMM", "GREEDYNMM")
+POSTPROCESS_TYPES = ("NMS", "NMM", "GREEDYNMM", "LSNMS")
+# LSNMS in the reference (docs sahi/predict.py:44-49) is lsnms's grid-sparse
+# NMS — a CPU locality optimisation with NMS semantics. On TPU the dense
+# fixpoint matvec already runs in O(100us), so LSNMS is an alias for NMS.
+_MODE_ALIASES = {"LSNMS": "NMS"}
 
 
 def greedy_keep_mask(match: jax.Array, valid: jax.Array) -> jax.Array:
@@ -73,6 +77,7 @@ def merge_detections(
     mode = mode.upper()
     if mode not in POSTPROCESS_TYPES:
         raise ValueError(f"unknown postprocess {mode!r}; expected {POSTPROCESS_TYPES}")
+    mode = _MODE_ALIASES.get(mode, mode)
     merge_boxes = mode in ("NMM", "GREEDYNMM")
 
     det = det.sort_by_score()

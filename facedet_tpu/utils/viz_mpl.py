@@ -58,17 +58,72 @@ class FaceVisualizer:
         return buf
 
     def save_face_crops(
-        self, image: np.ndarray, predictions: Sequence, output_dir: str, prefix: str = "face"
+        self,
+        image: np.ndarray,
+        detections,
+        output_dir: str,
+        prefix: str = "face_crop",
     ) -> list[str]:
-        """(docs sahi/visualization.py:71) — delegates to the PIL implementation."""
-        from facedet_tpu.utils.viz import save_face_crops
+        """Crop each detection out of ``image`` and save it as
+        ``{prefix}_{i+1}_conf_{score:.2f}.jpg`` (1-indexed, unlike the primary
+        viz path's 0-indexed names — docs sahi/visualization.py:71-103).
 
-        return save_face_crops(image, predictions, output_dir, prefix=prefix)
+        Accepts a ``PredictionResult``, a prediction list, or raw
+        ``[x1,y1,x2,y2,(score)]`` rows; zero-area crops are skipped.
+        """
+        from PIL import Image
+
+        os.makedirs(output_dir, exist_ok=True)
+        preds = getattr(detections, "object_prediction_list", detections)
+        h, w = image.shape[:2]
+        saved: list[str] = []
+        for i, det in enumerate(preds):
+            if hasattr(det, "bbox"):
+                bbox = det.bbox.to_xyxy() if hasattr(det.bbox, "to_xyxy") else det.bbox
+                score = getattr(det, "score", None)
+                conf = float(getattr(score, "value", score or 0.0))
+            else:
+                bbox = det[:4]
+                conf = float(det[4]) if len(det) > 4 else 1.0
+            x1, y1, x2, y2 = (int(c) for c in bbox)
+            x1, x2 = max(0, x1), min(w, x2)
+            y1, y2 = max(0, y1), min(h, y2)
+            if x2 <= x1 or y2 <= y1:
+                continue
+            path = os.path.join(output_dir, f"{prefix}_{i + 1}_conf_{conf:.2f}.jpg")
+            Image.fromarray(np.ascontiguousarray(image[y1:y2, x1:x2])).save(path, quality=95)
+            saved.append(path)
+        return saved
 
     def create_detection_summary(
-        self, predictions: Sequence, image_name: str = "", output_path: Optional[str] = None
+        self, results: dict, save_path: Optional[str] = None
     ) -> str:
-        """(docs sahi/visualization.py:106) — delegates to the text reporter."""
-        from facedet_tpu.utils.viz import create_detection_summary
-
-        return create_detection_summary(predictions, image_name, output_path)
+        """Format a detection-statistics dict (``image_path``, ``num_faces``,
+        ``processing_time``, ``avg/min/max_confidence``, ``detections`` rows of
+        ``{bbox, confidence}``) into a text report, optionally saved
+        (docs sahi/visualization.py:106-143). Distinct from
+        utils/viz.create_detection_summary, which reports per-prediction
+        keypoints instead of aggregate stats.
+        """
+        lines = [
+            "=== Face Detection Summary ===",
+            f"Image: {results.get('image_path', 'Unknown')}",
+            f"Total Faces Detected: {results.get('num_faces', 0)}",
+            f"Processing Time: {results.get('processing_time', 0):.2f} seconds",
+            f"Average Confidence: {results.get('avg_confidence', 0):.2f}",
+            f"Min Confidence: {results.get('min_confidence', 0):.2f}",
+            f"Max Confidence: {results.get('max_confidence', 0):.2f}",
+            "",
+            "Detection Details:",
+        ]
+        for i, det in enumerate(results.get("detections", [])):
+            b = det.get("bbox", [0, 0, 0, 0])
+            lines.append(
+                f"Face {i + 1}: BBox({b[0]:.0f}, {b[1]:.0f}, {b[2]:.0f}, {b[3]:.0f}), "
+                f"Conf: {det.get('confidence', 0):.3f}"
+            )
+        summary = "\n".join(lines) + "\n"
+        if save_path:
+            with open(save_path, "w") as f:
+                f.write(summary)
+        return summary

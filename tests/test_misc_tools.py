@@ -41,9 +41,26 @@ def test_matplotlib_visualizer(tmp_path):
     out = viz.draw_detections(img, preds)
     assert out.ndim == 3 and out.shape[2] == 3
     crops = viz.save_face_crops(img, preds, str(tmp_path))
-    assert len(crops) == 1
-    summary = viz.create_detection_summary(preds, "img")
-    assert "Total faces detected: 1" in summary
+    assert len(crops) == 1 and crops[0].endswith("face_crop_1_conf_0.90.jpg")
+    # also accepts raw [x1,y1,x2,y2,score] rows and a PredictionResult-like
+    raw_crops = viz.save_face_crops(img, [[5, 5, 30, 30, 0.7]], str(tmp_path), prefix="raw")
+    assert len(raw_crops) == 1 and raw_crops[0].endswith("raw_1_conf_0.70.jpg")
+    stats = {
+        "image_path": "img.jpg",
+        "num_faces": 1,
+        "processing_time": 0.5,
+        "avg_confidence": 0.9,
+        "min_confidence": 0.9,
+        "max_confidence": 0.9,
+        "detections": [{"bbox": [10, 10, 40, 50], "confidence": 0.9}],
+    }
+    out_path = str(tmp_path / "summary.txt")
+    summary = viz.create_detection_summary(stats, save_path=out_path)
+    assert "Total Faces Detected: 1" in summary
+    assert "Face 1: BBox(10, 10, 40, 50), Conf: 0.900" in summary
+    import os
+
+    assert os.path.exists(out_path)
 
 
 def test_attach_keypoints_compat():

@@ -146,3 +146,22 @@ def test_differential_large_scale():
     want_boxes, want_scores = sequential_greedy_reference(boxes, scores, 0.45, "IOU")
     np.testing.assert_allclose(got["scores"], want_scores, atol=1e-6)
     np.testing.assert_allclose(got["boxes"], want_boxes, atol=1e-3)
+
+
+def test_lsnms_aliases_nms():
+    import jax.numpy as jnp
+
+    from facedet_tpu.core.detections import Detections
+    from facedet_tpu.ops.nms import merge_detections
+
+    det = Detections.from_arrays(
+        boxes=jnp.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], jnp.float32),
+        scores=jnp.array([0.9, 0.8, 0.7]),
+        capacity=8,
+    )
+    a = merge_detections(det, mode="LSNMS", match_metric="IOU", match_threshold=0.5)
+    b = merge_detections(det, mode="NMS", match_metric="IOU", match_threshold=0.5)
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_allclose(np.asarray(a.boxes), np.asarray(b.boxes))
