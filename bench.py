@@ -6,13 +6,20 @@ full-image standard pass) -> YOLOv11-s-pose (bfloat16) over the whole tile
 batch in one dispatch -> on-device decode + GreedyNMM merge -> host detection
 list. Static shapes; one compile.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} with
+transfer/compute accounting:
+  - device_ms_per_image: device-only time for the fused batched dispatch with
+    inputs already resident on device (no host link in the measurement).
+  - bytes_h2d_per_image: the uint8 upload each image costs (bucketed canvas).
+  - mfu_est: device-time MFU vs the chip's bf16 peak, from XLA's own FLOPs
+    cost analysis of the fused pipeline.
+  - baseline_kind: what vs_baseline divides by. The reference stack publishes
+    no throughput (BASELINE.md "Operating point & throughput") and torch-CUDA
+    isn't runnable here, so the denominator is the SAME pipeline executed with
+    JAX on this host's CPU (``python bench.py --cpu``; constant below).
 
-vs_baseline compares against the same pipeline executed with JAX on this
-host's CPU (the reference stack is CUDA/CPU torch; its committed results
-publish no throughput — BASELINE.md "Operating point & throughput" — so the
-CPU run of this pipeline is the reproducible stand-in). Measure it with
-``python bench.py --cpu`` ; the constant below records the last measurement.
+Throughput uses the double-buffered batched stream (predict_stream_batched):
+batch k+1's upload+compute overlap batch k's fetch, hiding link latency.
 """
 from __future__ import annotations
 
@@ -24,35 +31,23 @@ import time
 
 # best-so-far results, shared with the watchdog (the tunneled TPU link can
 # hang outright; a partial number beats an empty driver record)
-_PROGRESS = {"ips": 0.0, "p50": None, "complete": False}
+_PROGRESS = {"ips": 0.0, "p50": None, "complete": False, "extras": {}}
 
 # Measured with `python bench.py --cpu` on this host (see module docstring).
 CPU_REFERENCE_IPS = 0.26
+BASELINE_KIND = "same_pipeline_jax_cpu_this_host"
+
+# bf16 peak of the attached chip generation (axon tunnel reports v5e: 197
+# TFLOP/s bf16). Used only for the mfu_est field.
+PEAK_BF16_FLOPS = 197e12
 
 
-def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2):
-    import jax
-    import jax.numpy as jnp
+def _make_image(h, w):
+    """Natural-statistics synthetic image (multi-scale smooth noise):
+    photo-like transfer/compression behaviour, unlike pure white noise which
+    is the worst case for the host<->TPU link compressor."""
     import numpy as np
 
-    from facedet_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
-    from facedet_tpu.engine.detector import YoloV11PoseDetectionModel
-    from facedet_tpu.engine.predict import get_sliced_prediction
-
-    model = YoloV11PoseDetectionModel(
-        scale="s",
-        dtype="bfloat16",
-        confidence_threshold=0.25,
-        image_size=640,
-        max_detections_per_tile=300,
-    )
-    h, w = image_hw
-    # natural-statistics synthetic image (multi-scale smooth noise): photo-like
-    # transfer/compression behaviour, unlike pure white noise which is the
-    # worst case for the host<->TPU link
     rng = np.random.default_rng(0)
     base = np.zeros((h, w), np.float32)
     for octave in (8, 32, 128):
@@ -62,7 +57,100 @@ def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2):
         )[:h, :w]
         base += up / octave**0.5
     base = (base - base.min()) / (base.max() - base.min())
-    img = np.stack([base * 255, base * 230 + 10, base * 210 + 25], -1).astype(np.uint8)
+    return np.stack([base * 255, base * 230 + 10, base * 210 + 25], -1).astype(np.uint8)
+
+
+def _device_accounting(model, img, cfg, bsz):
+    """Device-only ms/image + XLA-cost FLOPs of the fused batched pipeline,
+    measured with all inputs pre-resident on device."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from facedet_tpu.engine import predict as P
+
+    opts = P._stream_opts(cfg)
+    h, w = img.shape[:2]
+    grid = P.compute_slice_grid(
+        h, w, opts["slice_height"], opts["slice_width"],
+        opts["overlap_height_ratio"], opts["overlap_width_ratio"],
+    )
+    t_bucket = P.bucket_tile_count(grid.num_tiles)
+    offsets, tile_valid = P.pad_grid_offsets(grid, t_bucket)
+    bucket_h = P.bucket_image_dim(grid.padded_h)
+    bucket_w = P.bucket_image_dim(grid.padded_w)
+    key = (
+        bucket_h, bucket_w, opts["slice_height"], opts["slice_width"],
+        bool(opts["perform_standard_pred"]), float(model.confidence_threshold),
+        opts["postprocess_type"].upper(), opts["postprocess_match_metric"].upper(),
+        float(opts["postprocess_match_threshold"]),
+        bool(opts["postprocess_class_agnostic"]), int(opts["merge_capacity"]),
+        int(model.image_size), False,
+    )
+    fused = P._get_fused_pipeline(model, key)["batch"]
+    batch = np.zeros((bsz, bucket_h, bucket_w, 3), np.uint8)
+    batch[:, :h, :w] = img
+    args = (
+        model.variables,
+        jax.device_put(jnp.asarray(batch)),
+        jax.device_put(jnp.asarray(offsets)),
+        jax.device_put(jnp.asarray(tile_valid)),
+        jax.device_put(jnp.tile(jnp.asarray([[h, w]], jnp.float32), (bsz, 1))),
+    )
+    jax.block_until_ready(args)
+    jax.block_until_ready(fused(*args))  # compile + warm
+
+    # Device-only timing over the tunnel: every host dispatch pays a link
+    # round-trip, so we loop the WHOLE pipeline n times inside one dispatch
+    # (traced trip count -> one compile) and difference n=K vs n=1 to cancel
+    # the single RTT. The per-iteration input tweak defeats loop-invariant
+    # hoisting.
+    @jax.jit
+    def repeat_pipeline(n, variables, batch, offsets, tile_valid, true_hw):
+        def body(i, acc):
+            b = batch.at[0, 0, 0, 0].set((i % 251).astype(batch.dtype))
+            det = fused(variables, b, offsets, tile_valid, true_hw)
+            return acc + det.scores.sum()
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    def timed(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(repeat_pipeline(n, *args))
+        return time.perf_counter() - t0
+
+    k = 9
+    timed(1)  # compile + warm
+    diffs = [max(0.0, timed(k) - timed(1)) / (k - 1) for _ in range(3)]
+    device_s_per_image = min(diffs) / bsz
+    try:
+        cost = fused.lower(*args).compile().cost_analysis()
+        flops_per_image = float(cost.get("flops", 0.0)) / bsz
+    except Exception:
+        flops_per_image = 0.0
+    bytes_h2d = bucket_h * bucket_w * 3  # uint8 canvas upload per image
+    return device_s_per_image, flops_per_image, bytes_h2d
+
+
+def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int = 8):
+    from facedet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from facedet_tpu.engine.detector import YoloV11PoseDetectionModel
+    from facedet_tpu.engine.predict import (
+        get_sliced_prediction,
+        predict_stream_batched,
+    )
+
+    model = YoloV11PoseDetectionModel(
+        scale="s",
+        dtype="bfloat16",
+        confidence_threshold=0.25,
+        image_size=640,
+        max_detections_per_tile=300,
+    )
+    img = _make_image(*image_hw)
 
     cfg = dict(
         slice_height=640,
@@ -76,50 +164,60 @@ def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2):
         postprocess_class_agnostic=True,
     )
 
-    def one(i):
-        return get_sliced_prediction(img, model, **cfg)
-
     # latency: synchronous per-image path; best-of-3 rounds because the
     # tunneled TPU link's health oscillates on a minutes timescale (see
     # CLAUDE.md) — we are measuring the framework, not the transient link
-    for i in range(warmup):
-        one(i)
+    for _ in range(warmup):
+        get_sliced_prediction(img, model, **cfg)
     p50 = float("inf")
     for _ in range(3):
         lat = []
-        for i in range(max(4, num_images // 4)):
+        for _ in range(max(4, num_images // 4)):
             t0 = time.perf_counter()
-            one(i)
+            get_sliced_prediction(img, model, **cfg)
             lat.append(time.perf_counter() - t0)
         p50 = min(p50, sorted(lat)[len(lat) // 2])
         _PROGRESS["p50"] = p50
 
-    # throughput: batched dispatch (4 images/dispatch, raw detections) —
-    # amortises host-link overhead; the serving-throughput configuration
-    from facedet_tpu.engine.predict import get_sliced_prediction_batch
+    # device-only compute + FLOPs accounting (no host link in the timing)
+    dev_s, flops, bytes_h2d = _device_accounting(model, img, cfg, bsz)
+    _PROGRESS["extras"] = {
+        "device_ms_per_image": round(dev_s * 1e3, 3),
+        "flops_per_image": flops,
+        "mfu_est": round(flops / (dev_s * PEAK_BF16_FLOPS), 4) if flops else None,
+        "bytes_h2d_per_image": bytes_h2d,
+    }
 
-    bsz = 4
-    get_sliced_prediction_batch([img] * bsz, model, raw=True, **cfg)  # compile
+    # throughput: double-buffered batched stream (bsz images/dispatch, raw
+    # detections, 2 batches in flight) — the serving configuration; uploads
+    # of the next batch overlap compute/fetch of the current one
+    n = max(num_images, 2 * bsz)
+    for _ in predict_stream_batched([img] * (2 * bsz), model, batch_size=bsz,
+                                    window=2, raw=True, **cfg):
+        pass  # compile + warm
     ips = 0.0
     for _ in range(3):
         t_start = time.perf_counter()
-        n_done = 0
-        while n_done < num_images:
-            get_sliced_prediction_batch([img] * bsz, model, raw=True, **cfg)
-            n_done += bsz
-        ips = max(ips, n_done / (time.perf_counter() - t_start))
+        done = 0
+        for _batch in predict_stream_batched(
+            [img] * n, model, batch_size=bsz, window=2, raw=True, **cfg
+        ):
+            done += bsz
+        ips = max(ips, done / (time.perf_counter() - t_start))
         _PROGRESS["ips"] = ips
-    return ips, p50
+    return ips, p50, _PROGRESS["extras"]
 
 
-def _emit(ips, p50, complete=True):
+def _emit(ips, p50, extras=None, complete=True):
     out = {
         "metric": "widerface_sahi640_images_per_sec",
         "value": round(ips, 4),
         "unit": "images/sec",
         "vs_baseline": round(ips / CPU_REFERENCE_IPS, 2),
+        "baseline_kind": BASELINE_KIND,
         "p50_latency_s": round(p50, 4) if p50 is not None else None,
     }
+    out.update(extras or {})
     if not complete:
         out["incomplete"] = True  # watchdog fired mid-run (TPU link stall)
     print(json.dumps(out), flush=True)
@@ -136,7 +234,7 @@ def main():
         def _bail():
             time.sleep(args.watchdog)
             if not _PROGRESS["complete"]:
-                _emit(_PROGRESS["ips"], _PROGRESS["p50"], complete=False)
+                _emit(_PROGRESS["ips"], _PROGRESS["p50"], _PROGRESS["extras"], complete=False)
                 os._exit(0)
 
         threading.Thread(target=_bail, daemon=True).start()
@@ -147,9 +245,9 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    ips, p50 = run_bench(args.images)
+    ips, p50, extras = run_bench(args.images)
     _PROGRESS["complete"] = True
-    _emit(ips, p50)
+    _emit(ips, p50, extras)
 
 
 if __name__ == "__main__":

@@ -39,6 +39,7 @@ __all__ = [
     "get_sliced_prediction",
     "get_sliced_prediction_batch",
     "predict_stream",
+    "predict_stream_batched",
     "POSTPROCESS_DEFAULTS",
 ]
 
@@ -318,27 +319,13 @@ def _dispatch_sliced(
     return merged_dev, grid, t_bucket, durations
 
 
-def get_sliced_prediction_batch(
-    images,
-    detection_model: DetectionModel,
-    raw: bool = False,
-    **sliced_kwargs,
-):
-    """Batched sliced prediction over SAME-SIZE images in ONE device dispatch.
-
-    The vmapped fused pipeline broadcasts weights and the tile grid over the
-    image axis, so per-dispatch and host-link overheads amortise across the
-    batch — the serving-throughput analog of the reference's one-image-at-a-
-    time loop. Returns a list of PredictionResult (or the batched numpy
-    Detections pytree when ``raw=True``)."""
-    imgs = [_prepare_image(im) for im in images]
-    if not imgs:
-        return []
+def _dispatch_sliced_batch(imgs: list, detection_model: DetectionModel, opts: dict):
+    """Asynchronously dispatch the vmapped fused pipeline over a list of
+    prepared SAME-SIZE images. Returns the un-fetched device Detections pytree
+    (batch axis leading) — callers overlap further dispatches before blocking."""
     h, w = imgs[0].shape[:2]
     if any(im.shape[:2] != (h, w) for im in imgs):
-        raise ValueError("get_sliced_prediction_batch requires same-size images")
-
-    opts = _stream_opts(sliced_kwargs)
+        raise ValueError("batched sliced prediction requires same-size images")
     slice_height, slice_width = opts["slice_height"], opts["slice_width"]
     if slice_height is None or slice_width is None:
         s = adaptive_slice_size(h, w)
@@ -372,16 +359,37 @@ def get_sliced_prediction_batch(
     for i, im in enumerate(imgs):
         batch[i, :h, :w] = im
     true_hw = jnp.tile(jnp.asarray([[h, w]], jnp.float32), (len(imgs), 1))
-    merged = fused["batch"](
+    return fused["batch"](
         detection_model.variables,
         jnp.asarray(batch),
         jnp.asarray(offsets),
         jnp.asarray(tile_valid),
         true_hw,
     )
-    merged = jax.device_get(merged)
+
+
+def get_sliced_prediction_batch(
+    images,
+    detection_model: DetectionModel,
+    raw: bool = False,
+    **sliced_kwargs,
+):
+    """Batched sliced prediction over SAME-SIZE images in ONE device dispatch.
+
+    The vmapped fused pipeline broadcasts weights and the tile grid over the
+    image axis, so per-dispatch and host-link overheads amortise across the
+    batch — the serving-throughput analog of the reference's one-image-at-a-
+    time loop. Returns a list of PredictionResult (or the batched numpy
+    Detections pytree when ``raw=True``)."""
+    imgs = [_prepare_image(im) for im in images]
+    if not imgs:
+        return []
+    merged = jax.device_get(
+        _dispatch_sliced_batch(imgs, detection_model, _stream_opts(sliced_kwargs))
+    )
     if raw:
         return merged
+    h, w = imgs[0].shape[:2]
     results = []
     for i, im in enumerate(imgs):
         det = jax.tree.map(lambda x: x[i], merged)
@@ -392,6 +400,70 @@ def get_sliced_prediction_batch(
             PredictionResult(image=im, object_prediction_list=preds, detections=det)
         )
     return results
+
+
+def predict_stream_batched(
+    images,
+    detection_model: DetectionModel,
+    batch_size: int = 8,
+    window: int = 2,
+    raw: bool = False,
+    **sliced_kwargs,
+):
+    """Double-buffered batched sliced prediction over an image stream — the
+    serving-throughput configuration.
+
+    Consecutive same-size images are grouped into ``batch_size`` batches; up
+    to ``window`` batched dispatches stay in flight, so batch k+1's
+    host->device upload and compute overlap batch k's result fetch. This hides
+    link latency (the dominant cost over a remote-attached TPU) behind device
+    compute in a way the reference's serial per-image loop
+    (docs sahi/predict.py:270-288) cannot. Yields per input order: a list of
+    PredictionResult per batch (or the raw batched Detections pytree when
+    ``raw=True``).
+    """
+    from collections import deque
+
+    opts = _stream_opts(sliced_kwargs)
+
+    def finalize(imgs, merged_dev):
+        merged = jax.device_get(merged_dev)
+        if raw:
+            return merged
+        h, w = imgs[0].shape[:2]
+        out = []
+        for i, im in enumerate(imgs):
+            det = jax.tree.map(lambda x: x[i], merged)
+            preds = detections_to_object_predictions(
+                det, detection_model.category_mapping, full_shape=(h, w)
+            )
+            out.append(
+                PredictionResult(image=im, object_prediction_list=preds, detections=det)
+            )
+        return out
+
+    inflight: deque = deque()
+    pending: list = []
+
+    def flush(pending):
+        inflight.append(
+            (pending, _dispatch_sliced_batch(pending, detection_model, opts))
+        )
+
+    for image in images:
+        img = _prepare_image(image)
+        if pending and (
+            img.shape != pending[0].shape or len(pending) >= batch_size
+        ):
+            flush(pending)
+            pending = []
+            if len(inflight) >= window:
+                yield finalize(*inflight.popleft())
+        pending.append(img)
+    if pending:
+        flush(pending)
+    while inflight:
+        yield finalize(*inflight.popleft())
 
 
 def _stream_opts(sliced_kwargs: dict) -> dict:

@@ -160,3 +160,33 @@ def test_image_size_bucketing_shares_compilations():
         img_c, model, slice_height=64, slice_width=64, perform_standard_pred=False
     )
     assert len(model._fused_cache) == 2
+
+
+def test_predict_stream_batched_double_buffered():
+    from facedet_tpu.engine.predict import predict_stream_batched
+
+    model = FakeBlobDetector(confidence_threshold=0.5)
+    dots = [(30, 40), (60, 80), (20, 100), (70, 20), (50, 50)]
+    imgs = [make_image(100, 120, [d]) for d in dots]
+    # mixed sizes force a batch split mid-stream
+    imgs.append(make_image(120, 100, [(90, 30)]))
+    batches = list(
+        predict_stream_batched(
+            imgs, model, batch_size=2, window=2,
+            slice_height=64, slice_width=64, perform_standard_pred=False,
+        )
+    )
+    results = [r for b in batches for r in b]
+    assert len(results) == len(imgs)
+    expected = dots + [(90, 30)]
+    for r, (dy, dx) in zip(results, expected):
+        assert len(r.object_prediction_list) == 1, (dy, dx)
+        p = r.object_prediction_list[0]
+        assert abs((p.bbox.minx + p.bbox.maxx) / 2 - dx) <= 1.5
+        assert abs((p.bbox.miny + p.bbox.maxy) / 2 - dy) <= 1.5
+    # raw mode yields batched Detections pytrees
+    raw = next(iter(predict_stream_batched(
+        imgs[:2], model, batch_size=2, slice_height=64, slice_width=64,
+        perform_standard_pred=False, raw=True,
+    )))
+    assert raw.boxes.ndim == 3 and raw.boxes.shape[0] == 2
