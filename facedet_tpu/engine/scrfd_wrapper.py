@@ -21,7 +21,12 @@ import numpy as np
 
 from facedet_tpu.core.detections import Detections
 from facedet_tpu.engine.detector import DetectionModel, load_params_npz
-from facedet_tpu.models.scrfd import SCRFD_VARIANTS, Scrfd, decode_scrfd
+from facedet_tpu.models.scrfd import (
+    SCRFD_VARIANTS,
+    Scrfd,
+    decode_scrfd,
+    decode_scrfd_flat,
+)
 from facedet_tpu.models.yolo_decode import decode_to_detections
 
 
@@ -45,6 +50,20 @@ class ScrfdDetectionModel(DetectionModel):
     def load_model(self) -> None:
         cfg = SCRFD_VARIANTS[self.variant]
         self.cfg = dataclasses.replace(cfg, dtype=self.dtype)
+        self._onnx = None
+        if str(self.model_path).endswith(".onnx"):
+            # pretrained insightface checkpoint: import the ONNX graph as a
+            # jittable JAX function (reference feeds the same file to
+            # onnxruntime — utils/insightface_wrapper.py:38-44)
+            from facedet_tpu.models.onnx_import import import_onnx
+
+            self._onnx = import_onnx(str(self.model_path))
+            self.model = None
+            self.variables = {"params": self._onnx.params}
+            hw = self._onnx.input_hw()
+            if hw and not self.image_size:
+                self.image_size = max(hw)
+            return
         self.model = Scrfd(self.cfg)
         if self.model_path is None:
             with jax.default_device(jax.local_devices(backend="cpu")[0]):
@@ -57,8 +76,19 @@ class ScrfdDetectionModel(DetectionModel):
             raise ValueError(f"unsupported checkpoint format: {self.model_path}")
 
     def tile_forward(self, variables, tiles, conf_threshold: float) -> Detections:
-        outs = self.model.apply(variables, tiles, train=False)
-        preds = decode_scrfd(outs, num_keypoints=self.cfg.num_keypoints)
+        if self._onnx is not None:
+            # insightface blob semantics: (pix*255 - 127.5)/128, NCHW, RGB
+            x = (tiles.astype(jnp.float32) * 255.0 - 127.5) / 128.0
+            x = jnp.transpose(x, (0, 3, 1, 2))
+            # vmap with an inner batch of 1 so graphs exported batch-1 (the
+            # published checkpoints) run over the whole tile batch in one XLA
+            # program
+            outs = jax.vmap(lambda xi: self._onnx(variables["params"], xi[None]))(x)
+            outs = [o.reshape(o.shape[0], -1, o.shape[-1]) for o in outs]
+            preds = decode_scrfd_flat(outs, tiles.shape[1:3])
+        else:
+            level_outs = self.model.apply(variables, tiles, train=False)
+            preds = decode_scrfd(level_outs, num_keypoints=self.cfg.num_keypoints)
         return decode_to_detections(
             preds,
             conf_threshold=conf_threshold,

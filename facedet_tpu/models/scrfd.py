@@ -184,6 +184,58 @@ def decode_scrfd(level_outputs: list[dict], num_keypoints: int = 5) -> dict:
     }
 
 
+def decode_scrfd_flat(outs: tuple, input_hw: tuple[int, int]) -> dict:
+    """Decode the flattened per-level outputs of an insightface SCRFD ONNX
+    graph into {boxes [B,A,4] xyxy px, scores [B,A,1], kpts [B,A,K,3]}.
+
+    The pretrained graphs (loaded via models/onnx_import; the reference runs
+    them through onnxruntime — utils/insightface_wrapper.py:38-44) emit, in
+    output order: score_8, score_16, score_32, bbox_8.., kps_8.. — each level
+    already sigmoided/flattened to [B, h*w*A, c] with bbox/kps in stride
+    units (insightface model_zoo/scrfd.py forward convention, anchor-fastest
+    flattening). 6 outputs = no keypoint branch."""
+    n_lv = len(STRIDES)
+    if len(outs) not in (2 * n_lv, 3 * n_lv):
+        raise ValueError(
+            f"expected {2 * n_lv} or {3 * n_lv} outputs (scores/bbox[/kps] per "
+            f"stride), got {len(outs)}"
+        )
+    has_kps = len(outs) == 3 * n_lv
+    h, w = input_hw
+    b = outs[0].shape[0]
+    boxes, scores, kpts = [], [], []
+    for i, stride in enumerate(STRIDES):
+        cls = outs[i].reshape(b, -1, 1)
+        dist = outs[i + n_lv].reshape(b, -1, 4) * stride
+        fh, fw = -(-h // stride), -(-w // stride)
+        na = cls.shape[1] // (fh * fw)
+        ys = jnp.arange(fh, dtype=jnp.float32) * stride
+        xs = jnp.arange(fw, dtype=jnp.float32) * stride
+        yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+        centers = jnp.stack([xx.reshape(-1), yy.reshape(-1)], -1)
+        centers = jnp.repeat(centers, na, axis=0)  # anchor-fastest
+
+        x1y1 = centers[None] - dist[..., :2]
+        x2y2 = centers[None] + dist[..., 2:]
+        boxes.append(jnp.concatenate([x1y1, x2y2], -1))
+        scores.append(cls)
+        if has_kps:
+            kp_flat = outs[i + 2 * n_lv].reshape(b, cls.shape[1], -1)
+            nk = kp_flat.shape[-1] // 2
+            kp = kp_flat.reshape(b, -1, nk, 2) * stride
+            kxy = centers[None, :, None, :] + kp
+        else:
+            nk = 5
+            kxy = jnp.zeros((b, cls.shape[1], nk, 2), jnp.float32)
+        kv = jnp.broadcast_to(cls[..., None, 0:1], kxy.shape[:-1] + (1,))
+        kpts.append(jnp.concatenate([kxy, kv], -1))
+    return {
+        "boxes": jnp.concatenate(boxes, 1),
+        "scores": jnp.concatenate(scores, 1),
+        "kpts": jnp.concatenate(kpts, 1),
+    }
+
+
 def create_scrfd(cfg: ScrfdConfig, rng: jax.Array, image_size: int = 640):
     model = Scrfd(cfg)
     variables = model.init(rng, jnp.zeros((1, image_size, image_size, 3)), train=False)

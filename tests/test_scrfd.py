@@ -74,3 +74,61 @@ def test_variants_param_ordering():
         _, v = create_scrfd(cfg, jax.random.PRNGKey(0), image_size=64)
         sizes[name] = sum(x.size for x in jax.tree.leaves(v["params"]))
     assert sizes["scrfd_500m"] < sizes["scrfd_2.5g"]
+
+
+def test_onnx_checkpoint_end_to_end(tmp_path):
+    """Pretrained-.onnx path: insightface-convention graph -> ScrfdDetectionModel
+    -> fused sliced pipeline, plus a numpy distance2bbox decode parity check."""
+    pytest.importorskip("torch")
+    import torch
+
+    from test_onnx_import import MicroScrfd, export_onnx
+
+    torch.manual_seed(7)
+    net = MicroScrfd()
+    path = str(tmp_path / "scrfd_micro.onnx")
+    export_onnx(net, torch.randn(1, 3, 64, 64), path)
+
+    from facedet_tpu.engine.scrfd_wrapper import ScrfdDetectionModel
+
+    model = ScrfdDetectionModel(
+        model_path=path, confidence_threshold=0.05, image_size=64
+    )
+    assert model._onnx is not None
+
+    # decode parity vs an insightface-style numpy decode of the torch outputs
+    rng = np.random.default_rng(7)
+    tile = rng.random((64, 64, 3), np.float32)
+    blob = ((tile * 255.0 - 127.5) / 128.0).transpose(2, 0, 1)[None]
+    with torch.no_grad():
+        t_outs = [o.numpy() for o in net(torch.as_tensor(blob))]
+    import jax.numpy as jnp
+
+    from facedet_tpu.models.scrfd import decode_scrfd_flat
+
+    preds = decode_scrfd_flat(
+        tuple(jnp.asarray(o) for o in t_outs), (64, 64)
+    )
+    want_boxes = []
+    for i, stride in enumerate((8, 16, 32)):
+        fh = fw = 64 // stride
+        centers = np.stack(np.mgrid[:fh, :fw][::-1], axis=-1).astype(np.float32)
+        centers = (centers * stride).reshape(-1, 2)
+        centers = np.stack([centers] * 2, axis=1).reshape(-1, 2)
+        dist = t_outs[i + 3][0] * stride
+        want_boxes.append(
+            np.concatenate([centers - dist[:, :2], centers + dist[:, 2:]], -1)
+        )
+    np.testing.assert_allclose(
+        np.asarray(preds["boxes"][0]), np.concatenate(want_boxes, 0), atol=1e-3
+    )
+
+    # full sliced pipeline executes over the tile batch
+    from facedet_tpu.engine.predict import get_sliced_prediction
+
+    img = (rng.random((100, 130, 3)) * 255).astype(np.uint8)
+    result = get_sliced_prediction(
+        img, model, slice_height=64, slice_width=64, perform_standard_pred=False
+    )
+    det = result.detections
+    assert det.boxes.ndim == 2  # pipeline produced a Detections pytree
