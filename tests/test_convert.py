@@ -169,3 +169,122 @@ def test_converter_rejects_bad_shapes():
     cfg = RRDBConfig(num_feat=8, num_block=1, num_grow_ch=4, scale=4)
     with pytest.raises((KeyError, ValueError)):
         convert_rrdbnet_checkpoint({"conv_first.weight": np.zeros((1, 1, 1, 1))}, cfg)
+
+
+# ------------------------------------------------------------------------
+# Golden-activation parity vs torch (SURVEY.md §7 "checkpoint conversion ...
+# golden activation tests per block"; reference utils/yolo_wrapper.py:55
+# consumes the same architecture through the ultralytics package).
+# ------------------------------------------------------------------------
+
+torch = pytest.importorskip("torch")
+
+
+def _flax_apply(module, variables, x_nchw):
+    x = jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+    out = module.apply(variables, x, train=False)
+    return out
+
+
+def _convert_block(flax_module, torch_block, x_shape, convert_fn):
+    """Init flax block, map the torch block's weights in via convert_fn,
+    return (flax vars, torch sd)."""
+    sd = {f"blk.{k}": v.detach().numpy() for k, v in torch_block.state_dict().items()}
+    variables = flax_module.init(
+        jax.random.PRNGKey(0), jnp.zeros((x_shape[0], x_shape[2], x_shape[3], x_shape[1])),
+        train=False,
+    )
+    params = jax.tree.map(np.asarray, variables["params"])
+    bstats = jax.tree.map(np.asarray, variables["batch_stats"])
+    convert_fn(params, bstats, [], sd, "blk")
+    return {"params": params, "batch_stats": bstats}
+
+
+def _golden_block(flax_module, torch_block, c_in, convert_fn, hw=16, atol=2e-5):
+    from torch_yolo_ref import randomize_
+
+    randomize_(torch_block, seed=11)
+    x = np.random.default_rng(3).standard_normal((2, c_in, hw, hw)).astype(np.float32)
+    with torch.no_grad():
+        want = torch_block(torch.as_tensor(x)).numpy()
+    variables = _convert_block(flax_module, torch_block, x.shape, convert_fn)
+    got = np.transpose(np.asarray(_flax_apply(flax_module, variables, x)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, atol=atol, rtol=1e-4)
+
+
+def test_golden_convbnact():
+    from facedet_tpu.models import convert as C
+    from facedet_tpu.models.layers import ConvBnAct
+    from torch_yolo_ref import Conv as TConv
+
+    def conv_fn(params, bstats, prefix, sd, t):
+        C._convert_convbn(params, bstats, prefix, sd, t)
+
+    _golden_block(ConvBnAct(12, kernel=3, stride=2), TConv(5, 12, 3, 2), 5, conv_fn)
+
+
+def test_golden_c3k2_bottleneck_and_c3k():
+    from facedet_tpu.models import convert as C
+    from facedet_tpu.models.layers import C3k2
+    from torch_yolo_ref import C3k2 as TC3k2
+
+    _golden_block(
+        C3k2(16, n=2, c3k=False, expansion=0.25),
+        TC3k2(8, 16, n=2, c3k=False, e=0.25),
+        8,
+        C._convert_c3k2,
+    )
+    _golden_block(
+        C3k2(16, n=1, c3k=True), TC3k2(16, 16, n=1, c3k=True), 16, C._convert_c3k2
+    )
+
+
+def test_golden_sppf():
+    from facedet_tpu.models import convert as C
+    from facedet_tpu.models.layers import SPPF
+    from torch_yolo_ref import SPPF as TSPPF
+
+    _golden_block(SPPF(16), TSPPF(16, 16), 16, C._convert_sppf)
+
+
+def test_golden_c2psa():
+    from facedet_tpu.models import convert as C
+    from facedet_tpu.models.layers import C2PSA
+    from torch_yolo_ref import C2PSA as TC2PSA
+
+    _golden_block(
+        C2PSA(128, n=1), TC2PSA(128, 128, n=1), 128, C._convert_c2psa, hw=8, atol=5e-5
+    )
+
+
+def test_golden_full_model_and_head():
+    """End-to-end converter parity: random torch yolo11n-pose (ultralytics
+    state-dict naming) -> convert_ultralytics_checkpoint -> flax forward ==
+    torch forward on all 9 raw head maps."""
+    from torch_yolo_ref import TorchYolo11Pose, randomize_
+
+    cfg = YoloConfig(scale="n", num_classes=1, with_pose=True, dtype="float32")
+    tnet = randomize_(TorchYolo11Pose(cfg), seed=5)
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    variables, scale = convert_ultralytics_checkpoint(sd, cfg)
+    assert scale == "n"
+
+    x = np.random.default_rng(9).standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.as_tensor(x))
+    model = YoloV11(cfg)
+    outs = model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
+    for lvl, (w_box, w_cls, w_kpt) in enumerate(want):
+        got = outs[lvl]
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(got["box"]), (0, 3, 1, 2)), w_box.numpy(),
+            atol=1e-4, rtol=1e-4, err_msg=f"box level {lvl}",
+        )
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(got["cls"]), (0, 3, 1, 2)), w_cls.numpy(),
+            atol=1e-4, rtol=1e-4, err_msg=f"cls level {lvl}",
+        )
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(got["kpt"]), (0, 3, 1, 2)), w_kpt.numpy(),
+            atol=1e-4, rtol=1e-4, err_msg=f"kpt level {lvl}",
+        )
