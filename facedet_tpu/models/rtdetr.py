@@ -256,11 +256,11 @@ class DecoderLayer(nn.Module):
     cfg: RtDetrConfig
 
     @nn.compact
-    def __call__(self, query, ref_points, feats, query_pos, train: bool = False):
+    def __call__(self, query, ref_points, feats, query_pos, train: bool = False, attn_mask=None):
         cfg, dt = self.cfg, self.cfg.compute_dtype
         q = query + query_pos
         sa = nn.MultiHeadDotProductAttention(num_heads=cfg.num_heads, dtype=dt, name="self_attn")(
-            q, q, query
+            q, q, query, mask=attn_mask
         )
         query = nn.LayerNorm(dtype=jnp.float32, name="ln1")(query + sa)
         ca = MsDeformAttn(cfg, name="cross_attn")(query + query_pos, ref_points, feats, train)
@@ -275,15 +275,50 @@ def inverse_sigmoid(x, eps=1e-5):
     return jnp.log(x / (1 - x))
 
 
+def dn_attention_mask(n_dn: int, num_groups: int, num_queries: int) -> jax.Array:
+    """Decoder self-attention mask for CDN (True = may attend).
+
+    Leakage rules: matching queries never see denoising queries (they encode
+    GT); denoising group i never sees group j != i (each group is an
+    independently noised copy of the GT set); everyone may see the matching
+    block. All sizes static -> the mask is a compile-time constant."""
+    total = n_dn + num_queries
+    group = jnp.arange(n_dn) // max(n_dn // num_groups, 1)
+    mask = jnp.zeros((total, total), bool)
+    # matching <-> matching
+    mask = mask.at[n_dn:, n_dn:].set(True)
+    # dn -> matching
+    mask = mask.at[:n_dn, n_dn:].set(True)
+    # dn -> same group
+    mask = mask.at[:n_dn, :n_dn].set(group[:, None] == group[None, :])
+    return mask
+
+
 class RtDetr(nn.Module):
     """images [B,H,W,3] in [0,1] -> dict with per-layer logits/boxes +
-    encoder outputs (for aux losses)."""
+    encoder outputs (for aux losses).
+
+    Training may pass contrastive-denoising (CDN) queries — noised-GT boxes
+    with known assignments (``dn_labels`` [B,N] class ids where
+    ``num_classes`` = background, ``dn_ref`` [B,N,4] cxcywh, ``dn_groups``
+    static group count). They prepend the matching queries through the decoder
+    behind a leakage-blocking self-attention mask and come back as
+    ``dn_logits``/``dn_boxes`` per layer. CDN is the from-scratch convergence
+    equalizer for the reference's pretrained-init fine-tune
+    (pipeline_v3_RTDETR/train_rtdetr.py:162)."""
 
     cfg: RtDetrConfig
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dn_labels=None, dn_ref=None, dn_groups: int = 0):
         cfg, dt = self.cfg, self.cfg.compute_dtype
+        # always materialised so checkpoints are CDN-ready regardless of the
+        # first trace's arguments
+        dn_table = self.param(
+            "dn_embed",
+            nn.initializers.normal(0.02),
+            (cfg.num_classes + 1, cfg.hidden_dim),
+        )
         x = x.astype(dt)
         feats = Backbone(cfg, name="backbone")(x, train)
         feats = Ccff(cfg, name="encoder")(feats, train)
@@ -319,21 +354,38 @@ class RtDetr(nn.Module):
         ref = take(enc_boxes)  # [B,K,4]
         query = take(enc_tokens).astype(dt)
 
+        n_dn = 0
+        attn_mask = None
+        if dn_labels is not None:
+            n_dn = dn_labels.shape[1]
+            query = jnp.concatenate([dn_table[dn_labels].astype(dt), query], axis=1)
+            ref = jnp.concatenate([dn_ref.astype(jnp.float32), ref], axis=1)
+            attn_mask = dn_attention_mask(n_dn, max(dn_groups, 1), k)[None, None]
+
         outputs = {"enc_logits": enc_logits, "enc_boxes": enc_boxes}
         layer_logits, layer_boxes = [], []
+        dn_logits, dn_boxes = [], []
         for li in range(cfg.num_decoder_layers):
             query_pos = nn.Dense(cfg.hidden_dim, dtype=dt, name=f"qpos{li}")(
                 inverse_sigmoid(ref).astype(dt)
             )
-            query = DecoderLayer(cfg, name=f"layer{li}")(query, ref, feats, query_pos, train)
+            query = DecoderLayer(cfg, name=f"layer{li}")(
+                query, ref, feats, query_pos, train, attn_mask=attn_mask
+            )
             logits = nn.Dense(cfg.num_classes, dtype=dt, name=f"cls{li}")(query)
             delta = nn.Dense(4, dtype=dt, name=f"box{li}")(query)
             ref = jax.nn.sigmoid(delta.astype(jnp.float32) + inverse_sigmoid(ref))
             ref = jax.lax.stop_gradient(ref) if li < cfg.num_decoder_layers - 1 else ref
-            layer_logits.append(logits.astype(jnp.float32))
-            layer_boxes.append(ref)
+            layer_logits.append(logits[:, n_dn:].astype(jnp.float32))
+            layer_boxes.append(ref[:, n_dn:])
+            if n_dn:
+                dn_logits.append(logits[:, :n_dn].astype(jnp.float32))
+                dn_boxes.append(ref[:, :n_dn])
         outputs["logits"] = layer_logits
         outputs["boxes"] = layer_boxes
+        if n_dn:
+            outputs["dn_logits"] = dn_logits
+            outputs["dn_boxes"] = dn_boxes
         return outputs
 
 

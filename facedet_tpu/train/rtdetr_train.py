@@ -16,7 +16,7 @@ from __future__ import annotations
 import functools
 import json
 import os
-from typing import Iterable
+from typing import Iterable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +29,7 @@ __all__ = [
     "hungarian_match",
     "greedy_match",
     "match_assignments",
+    "build_cdn",
     "rtdetr_loss",
     "make_rtdetr_train_step",
     "RtDetrTrainer",
@@ -185,6 +186,76 @@ def _layer_loss(logits, boxes, gt_boxes, gt_mask, cls_weight, box_weight, giou_w
     }
 
 
+def build_cdn(
+    key: jax.Array,
+    gt_boxes: jax.Array,  # [B, M, 4] cxcywh NORMALIZED
+    gt_mask: jax.Array,  # [B, M]
+    num_groups: int = 5,
+    box_noise_scale: float = 1.0,
+    num_classes: int = 1,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Contrastive-denoising query construction (DINO/RT-DETR CDN).
+
+    Per group, every padded GT slot yields a POSITIVE query (GT box with small
+    noise, labelled its class) and a NEGATIVE (larger noise, labelled
+    background = ``num_classes``). Layout is group-major
+    ``[g0:pos(M) neg(M), g1:...]`` so assignments are positional — no matching
+    needed for the dn part, which is exactly why CDN stabilises/accelerates
+    from-scratch DETR training. Returns (dn_labels [B,N], dn_ref [B,N,4],
+    dn_pos_valid [B,N]); N = 2*num_groups*M, all static.
+    """
+    b, m, _ = gt_boxes.shape
+    k_part, k_sign = jax.random.split(key)
+    # noise magnitude per coordinate: center within +-w/2 * scale, size +-w
+    diff = jnp.concatenate([gt_boxes[..., 2:] / 2, gt_boxes[..., 2:]], -1)
+    part = jax.random.uniform(k_part, (b, num_groups, 2, m, 4))
+    # positives in [0, 1), negatives in [1, 2) x (scale * diff)
+    part = part + jnp.array([0.0, 1.0])[None, None, :, None, None]
+    sign = jax.random.rademacher(k_sign, (b, num_groups, 2, m, 4)).astype(jnp.float32)
+    noised = gt_boxes[:, None, None] + sign * part * diff[:, None, None] * box_noise_scale
+    cx = jnp.clip(noised[..., 0:1], 0.0, 1.0)
+    cy = jnp.clip(noised[..., 1:2], 0.0, 1.0)
+    wh = jnp.clip(noised[..., 2:4], 1e-4, 1.0)
+    dn_ref = jnp.concatenate([cx, cy, wh], -1).reshape(b, num_groups * 2 * m, 4)
+
+    # labels: positive -> class 0 (single class), negative/invalid -> background
+    is_pos = jnp.tile(
+        jnp.repeat(jnp.array([True, False]), m)[None], (1, num_groups)
+    ).reshape(1, -1)  # [1, N]
+    slot_valid = jnp.tile(gt_mask, (1, num_groups * 2))  # [B, N]
+    dn_labels = jnp.where(is_pos & slot_valid, 0, num_classes).astype(jnp.int32)
+    return dn_labels, dn_ref, is_pos & slot_valid
+
+
+def _dn_layer_loss(logits, boxes, gt_boxes, gt_mask, num_groups,
+                   cls_weight, box_weight, giou_weight):
+    """Denoising loss with positional (known) assignments."""
+    b, n, _ = logits.shape
+    m = gt_boxes.shape[1]
+    tiled_gt = jnp.tile(gt_boxes, (1, num_groups * 2, 1))  # slot j <-> gt j%m
+    is_pos = jnp.tile(
+        jnp.repeat(jnp.array([True, False]), m)[None], (1, num_groups)
+    ).reshape(1, -1)
+    valid = jnp.tile(gt_mask, (1, num_groups * 2))
+    pos = is_pos & valid
+    npos = jnp.maximum(pos.sum(), 1)
+
+    l1_loss = jnp.sum(jnp.sum(jnp.abs(boxes - tiled_gt), -1) * pos) / npos
+    giou_loss = jnp.sum(
+        (1.0 - _giou(_cxcywh_to_xyxy(boxes), _cxcywh_to_xyxy(tiled_gt))) * pos
+    ) / npos
+
+    p = jax.nn.sigmoid(logits[..., 0])
+    tgt = pos.astype(jnp.float32)
+    alpha, gamma = 0.25, 2.0
+    ce = -(tgt * jnp.log(p + 1e-8) + (1 - tgt) * jnp.log(1 - p + 1e-8))
+    pt = tgt * p + (1 - tgt) * (1 - p)
+    focal = ce * ((1 - pt) ** gamma) * (tgt * alpha + (1 - tgt) * (1 - alpha))
+    # padded-slot negatives carry no signal either way; mask them out
+    cls_loss = jnp.sum(focal * valid) / npos
+    return cls_weight * cls_loss + box_weight * l1_loss + giou_weight * giou_loss
+
+
 def rtdetr_loss(
     outputs: dict,
     gt_boxes: jax.Array,  # [B, M, 4] cxcywh NORMALIZED to [0,1]
@@ -192,8 +263,10 @@ def rtdetr_loss(
     cls_weight: float = 1.0,
     box_weight: float = 5.0,
     giou_weight: float = 2.0,
+    dn_groups: int = 0,
 ) -> tuple[jax.Array, dict]:
-    """Sum of per-decoder-layer matched losses (DETR aux-loss scheme)."""
+    """Sum of per-decoder-layer matched losses (DETR aux-loss scheme), plus
+    the per-layer CDN denoising loss when the forward carried dn queries."""
     total = 0.0
     parts = {}
     for li, (logits, boxes) in enumerate(zip(outputs["logits"], outputs["boxes"])):
@@ -203,24 +276,53 @@ def rtdetr_loss(
         total = total + ll
         if li == len(outputs["logits"]) - 1:
             parts = p
-    return total / len(outputs["logits"]), parts
+    total = total / len(outputs["logits"])
+    if "dn_logits" in outputs and dn_groups:
+        dn_total = 0.0
+        for logits, boxes in zip(outputs["dn_logits"], outputs["dn_boxes"]):
+            dn_total = dn_total + _dn_layer_loss(
+                logits, boxes, gt_boxes, gt_mask, dn_groups,
+                cls_weight, box_weight, giou_weight,
+            )
+        dn_total = dn_total / len(outputs["dn_logits"])
+        parts = dict(parts, dn=dn_total)
+        total = total + dn_total
+    return total, parts
 
 
-def make_rtdetr_train_step(model: RtDetr, tx: optax.GradientTransformation):
-    def loss_fn(params, batch_stats, images, gt_boxes, gt_mask):
+def make_rtdetr_train_step(
+    model: RtDetr,
+    tx: optax.GradientTransformation,
+    dn_groups: int = 5,
+    box_noise_scale: float = 1.0,
+):
+    """Jitted train step. ``dn_groups > 0`` enables contrastive denoising
+    (the from-scratch convergence equalizer for the reference's pretrained
+    fine-tune, pipeline_v3_RTDETR/train_rtdetr.py:162); the step then takes a
+    PRNG key for the noise."""
+
+    def loss_fn(params, batch_stats, images, gt_boxes, gt_mask, key):
+        kwargs = {}
+        if dn_groups:
+            dn_labels, dn_ref, _ = build_cdn(
+                key, gt_boxes, gt_mask, dn_groups, box_noise_scale,
+                model.cfg.num_classes,
+            )
+            kwargs = dict(dn_labels=dn_labels, dn_ref=dn_ref, dn_groups=dn_groups)
         outs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images,
             train=True,
             mutable=["batch_stats"],
+            **kwargs,
         )
-        total, parts = rtdetr_loss(outs, gt_boxes, gt_mask)
+        total, parts = rtdetr_loss(outs, gt_boxes, gt_mask, dn_groups=dn_groups)
         return total, (parts, mutated["batch_stats"])
 
     @jax.jit
-    def step(params, batch_stats, opt_state, images, gt_boxes, gt_mask):
+    def step(params, batch_stats, opt_state, images, gt_boxes, gt_mask, key):
         (loss, (parts, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch_stats, images, gt_boxes, gt_mask
+            params, batch_stats, images, gt_boxes, gt_mask, key
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -245,6 +347,9 @@ class RtDetrTrainer:
         save_period: int = 5,
         image_size: int = 640,
         seed: int = 0,
+        dn_groups: int = 5,
+        warmup_steps: int = 100,
+        total_steps: Optional[int] = None,
     ):
         from facedet_tpu.models.rtdetr import create_rtdetr
 
@@ -253,12 +358,22 @@ class RtDetrTrainer:
         self.model, variables = create_rtdetr(cfg, jax.random.PRNGKey(seed), image_size)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
+        if total_steps:  # warmup -> cosine decay (from-scratch schedule)
+            schedule = optax.warmup_cosine_decay_schedule(
+                0.0, lr, warmup_steps, total_steps, end_value=lr * 0.05
+            )
+        else:  # warmup -> constant (the reference's constant-AdamW regime)
+            schedule = optax.join_schedules(
+                [optax.linear_schedule(0.0, lr, warmup_steps), optax.constant_schedule(lr)],
+                [warmup_steps],
+            )
         self.tx = optax.chain(
             optax.clip_by_global_norm(0.1),
-            optax.adamw(lr, weight_decay=weight_decay),
+            optax.adamw(schedule, weight_decay=weight_decay),
         )
         self.opt_state = self.tx.init(self.params)
-        self.step_fn = make_rtdetr_train_step(self.model, self.tx)
+        self.step_fn = make_rtdetr_train_step(self.model, self.tx, dn_groups=dn_groups)
+        self._rng = jax.random.PRNGKey(seed + 1)
         self.output_dir = output_dir
         self.patience = patience
         self.save_period = save_period
@@ -278,8 +393,10 @@ class RtDetrTrainer:
     def train_epoch(self, batches: Iterable[tuple]) -> float:
         losses = []
         for images, gt_boxes, gt_mask in batches:
+            self._rng, key = jax.random.split(self._rng)
             self.params, self.batch_stats, self.opt_state, loss, parts = self.step_fn(
-                self.params, self.batch_stats, self.opt_state, images, gt_boxes, gt_mask
+                self.params, self.batch_stats, self.opt_state,
+                images, gt_boxes, gt_mask, key,
             )
             losses.append(float(loss))
         return float(np.mean(losses)) if losses else 0.0

@@ -66,13 +66,18 @@ def test_loss_and_train_step(tiny):
     assert set(parts) == {"cls", "l1", "giou"}
 
     tx = optax.adamw(2e-3)
-    step = make_rtdetr_train_step(model, tx)
+    step = make_rtdetr_train_step(model, tx, dn_groups=2)
     params, bs = variables["params"], variables["batch_stats"]
     opt_state = tx.init(params)
     losses = []
+    rng = jax.random.PRNGKey(0)
     for _ in range(8):
-        params, bs, opt_state, loss, _ = step(params, bs, opt_state, images, gt_boxes, gt_mask)
+        rng, key = jax.random.split(rng)
+        params, bs, opt_state, loss, parts = step(
+            params, bs, opt_state, images, gt_boxes, gt_mask, key
+        )
         losses.append(float(loss))
+    assert "dn" in parts  # CDN loss active
     assert all(np.isfinite(l) for l in losses)
     # DETR losses are jumpy step-to-step (Hungarian reassignment); compare
     # the mean of the last quarter against the first step
@@ -126,3 +131,57 @@ def test_greedy_match_agrees_with_hungarian_when_separated():
     h = np.asarray(hungarian_match(cost))
     np.testing.assert_array_equal(g, h)
     assert list(g[0]) == [0, 1, 2]
+
+
+def test_build_cdn_layout_and_noise():
+    from facedet_tpu.train.rtdetr_train import build_cdn
+
+    gt = jnp.tile(jnp.array([[[0.5, 0.5, 0.2, 0.2], [0.3, 0.3, 0.1, 0.1]]]), (2, 1, 1))
+    mask = jnp.array([[True, True], [True, False]])
+    labels, ref, pos_valid = build_cdn(
+        jax.random.PRNGKey(0), gt, mask, num_groups=3, num_classes=1
+    )
+    n = 3 * 2 * 2  # groups * (pos+neg) * M
+    assert labels.shape == (2, n) and ref.shape == (2, n, 4)
+    # group-major layout: first M are positives of group 0
+    assert bool(pos_valid[0, 0]) and bool(pos_valid[0, 1])
+    assert not bool(pos_valid[0, 2]) and not bool(pos_valid[0, 3])  # negatives
+    # invalid GT slot -> background label, not a positive
+    assert int(labels[1, 1]) == 1 and not bool(pos_valid[1, 1])
+    # positive noise is bounded by the box extent; negatives pushed further
+    lab = np.asarray(labels)
+    r = np.asarray(ref)
+    d0 = np.abs(r[0, 0, :2] - np.array([0.5, 0.5]))
+    assert (d0 <= np.array([0.1, 0.1]) + 1e-6).all()  # pos center within w/2
+    d_neg = np.abs(r[0, 2, :2] - np.array([0.5, 0.5]))
+    assert (d_neg >= np.array([0.1, 0.1]) - 1e-6).all()  # neg center beyond w/2
+    # everything stays a valid normalized box
+    assert (r[..., 2:] > 0).all() and (r[..., :2] >= 0).all() and (r[..., :2] <= 1).all()
+
+
+def test_dn_attention_mask_blocks_leakage():
+    from facedet_tpu.models.rtdetr import dn_attention_mask
+
+    m = np.asarray(dn_attention_mask(n_dn=4, num_groups=2, num_queries=3))
+    assert m.shape == (7, 7)
+    assert m[4:, 4:].all()            # matching <-> matching
+    assert not m[4:, :4].any()        # matching never sees dn
+    assert m[:4, 4:].all()            # dn sees matching
+    assert m[0, 1] and not m[0, 2]    # same group yes, other group no
+
+
+def test_forward_with_dn_queries(tiny):
+    model, variables = tiny
+    images = jnp.zeros((1, 64, 64, 3))
+    gt = jnp.array([[[0.5, 0.5, 0.2, 0.2]]])
+    mask = jnp.ones((1, 1), bool)
+    from facedet_tpu.train.rtdetr_train import build_cdn
+
+    labels, ref, _ = build_cdn(jax.random.PRNGKey(1), gt, mask, num_groups=2)
+    outs = model.apply(
+        variables, images, train=False, dn_labels=labels, dn_ref=ref, dn_groups=2
+    )
+    assert "dn_logits" in outs and len(outs["dn_logits"]) == len(outs["logits"])
+    assert outs["dn_logits"][0].shape[1] == labels.shape[1]
+    # matching outputs keep their usual query count
+    assert outs["logits"][0].shape[1] == model.cfg.num_queries
