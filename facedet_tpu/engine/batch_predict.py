@@ -19,9 +19,11 @@ from typing import Optional
 
 LOW_MODEL_CONFIDENCE = 0.1
 IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+VIDEO_EXTENSIONS = (".mp4", ".avi", ".mov", ".mkv", ".webm", ".y4m", ".m4v")
 
 __all__ = [
     "predict",
+    "predict_video",
     "predict_fiftyone",
     "bbox_sort",
     "agg_prediction",
@@ -108,13 +110,31 @@ def predict(
     verbose: int = 1,
     return_dict: bool = True,
 ) -> Optional[dict]:
-    """Folder/image/COCO batch driver (docs sahi/predict.py:385). Video
-    sources are not supported on TPU hosts (no cv2/ffmpeg) — decode frames
-    externally and point ``source`` at the frames directory."""
-    if source and str(source).lower().endswith((".mp4", ".avi", ".mov", ".mkv")):
-        raise NotImplementedError(
-            "video sources need an external frame decoder on TPU hosts; "
-            "extract frames and pass the directory as source"
+    """Folder/image/COCO/video batch driver (docs sahi/predict.py:385). Video
+    sources stream through the pipelined predictor and export an annotated
+    MJPEG AVI (data/video.py — native decode for MJPEG-AVI/Y4M, ffmpeg
+    subprocess for other codecs)."""
+    if source and str(source).lower().endswith(VIDEO_EXTENSIONS):
+        return predict_video(
+            detection_model=detection_model,
+            source=source,
+            no_standard_prediction=no_standard_prediction,
+            no_sliced_prediction=no_sliced_prediction,
+            image_size=image_size,
+            slice_height=slice_height,
+            slice_width=slice_width,
+            overlap_height_ratio=overlap_height_ratio,
+            overlap_width_ratio=overlap_width_ratio,
+            postprocess_type=postprocess_type,
+            postprocess_match_metric=postprocess_match_metric,
+            postprocess_match_threshold=postprocess_match_threshold,
+            postprocess_class_agnostic=postprocess_class_agnostic,
+            novisual=novisual,
+            model_confidence_threshold=model_confidence_threshold,
+            project=project,
+            name=name,
+            verbose=verbose,
+            return_dict=return_dict,
         )
     from facedet_tpu.data.native_loader import load_image
     from facedet_tpu.engine.predict import get_prediction, get_sliced_prediction
@@ -225,5 +245,104 @@ def predict(
             "export_dir": str(save_dir),
             "durations_in_seconds": durations,
             "num_images": num_images,
+        }
+    return None
+
+
+def predict_video(
+    detection_model=None,
+    source: Optional[str] = None,
+    no_standard_prediction: bool = False,
+    no_sliced_prediction: bool = False,
+    image_size: Optional[int] = None,
+    slice_height: int = 512,
+    slice_width: int = 512,
+    overlap_height_ratio: float = 0.2,
+    overlap_width_ratio: float = 0.2,
+    postprocess_type: str = "GREEDYNMM",
+    postprocess_match_metric: str = "IOS",
+    postprocess_match_threshold: float = 0.5,
+    postprocess_class_agnostic: bool = False,
+    novisual: bool = False,
+    model_confidence_threshold: Optional[float] = None,
+    frame_skip: int = 0,
+    project: str = "runs/predict",
+    name: str = "exp",
+    verbose: int = 1,
+    return_dict: bool = True,
+) -> Optional[dict]:
+    """Video branch of ``predict()`` (docs sahi/predict.py:385 video mode):
+    decode frames (data/video.py), run them through the pipelined sliced
+    predictor (uploads/compute overlap result fetches), export an annotated
+    MJPEG AVI + per-frame COCO detections json."""
+    from facedet_tpu.data.video import MjpegAviWriter, read_video_frames, video_info
+    from facedet_tpu.engine.predict import get_prediction, predict_stream
+    from facedet_tpu.utils.viz import draw_detections_on_image
+
+    if detection_model is None:
+        raise ValueError("detection_model is required")
+    if model_confidence_threshold is not None:
+        detection_model.confidence_threshold = model_confidence_threshold
+    if image_size is not None:
+        detection_model.image_size = image_size
+
+    info = video_info(source)
+    fps = float(info.get("fps") or 25.0)
+    save_dir = Path(increment_path(Path(project) / name))
+    save_dir.mkdir(parents=True, exist_ok=True)
+    stem = Path(source).stem
+
+    def frames():
+        for i, frame in enumerate(read_video_frames(source)):
+            if frame_skip and i % (frame_skip + 1):
+                continue
+            yield frame
+
+    if no_sliced_prediction:
+        results = (get_prediction(f, detection_model) for f in frames())
+    else:
+        results = predict_stream(
+            frames(),
+            detection_model,
+            slice_height=slice_height,
+            slice_width=slice_width,
+            overlap_height_ratio=overlap_height_ratio,
+            overlap_width_ratio=overlap_width_ratio,
+            perform_standard_pred=not no_standard_prediction,
+            postprocess_type=postprocess_type,
+            postprocess_match_metric=postprocess_match_metric,
+            postprocess_match_threshold=postprocess_match_threshold,
+            postprocess_class_agnostic=postprocess_class_agnostic,
+        )
+
+    writer = None if novisual else MjpegAviWriter(
+        str(save_dir / f"{stem}_detections.avi"),
+        fps=fps / (frame_skip + 1),
+    )
+    coco_json = []
+    n_frames = 0
+    t0 = time.time()
+    for idx, result in enumerate(results):
+        n_frames += 1
+        coco_json.extend(result.to_coco_predictions(image_id=idx))
+        if writer is not None:
+            writer.write(draw_detections_on_image(result.image, result.object_prediction_list))
+        if verbose and idx % 25 == 0:
+            print(f"frame {idx}: {len(result.object_prediction_list)} detections")
+    elapsed = time.time() - t0
+    if writer is not None and n_frames:
+        writer.close()
+    with open(save_dir / "result.json", "w") as f:
+        json.dump(coco_json, f)
+    if verbose:
+        print(
+            f"{n_frames} frames in {elapsed:.1f}s "
+            f"({n_frames / max(elapsed, 1e-9):.2f} fps) -> {save_dir}"
+        )
+    if return_dict:
+        return {
+            "export_dir": str(save_dir),
+            "num_frames": n_frames,
+            "fps_processed": n_frames / max(elapsed, 1e-9),
         }
     return None
