@@ -81,3 +81,72 @@ def test_evaluator_adaptive_and_standard_modes(tmp_path):
         )
         results = ev.run(save=False)
         assert results["aps"]["all"] > 0.99, (kwargs, results["aps"])
+
+
+def test_recompile_storm_rehearsal_eval_scale(tmp_path):
+    """SURVEY.md §7: no recompilation storm across a WIDERFACE-like
+    mixed-resolution eval sweep. 300 images over a realistic size histogram
+    must compile at most once per (canvas-bucket x tile-bucket) combination,
+    not once per unique resolution."""
+    import numpy as np
+
+    from facedet_tpu.ops.tiler import (
+        bucket_image_dim,
+        bucket_tile_count,
+        compute_slice_grid,
+    )
+
+    rng = np.random.default_rng(0)
+    size_groups = [
+        (100, 120), (140, 200), (220, 180), (300, 260), (180, 420), (260, 520),
+    ]
+    sizes = [size_groups[int(rng.integers(len(size_groups)))] for _ in range(300)]
+    # jitter within each group: different exact resolutions, same buckets
+    sizes = [(h + int(rng.integers(0, 8)), w + int(rng.integers(0, 8))) for h, w in sizes]
+
+    gt_lines = []
+    images = {}
+    for i, (h, w) in enumerate(sizes):
+        y, x = int(rng.integers(10, h - 10)), int(rng.integers(10, w - 10))
+        key = f"ev_s/img{i}"
+        images[key] = make_image(h, w, [(y, x)])
+        gt_lines += [key + ".jpg", "1", f"{x - 5} {y - 5} 10 10 0 0 0 0 0 0"]
+    gt_txt = tmp_path / "gt.txt"
+    gt_txt.write_text("\n".join(gt_lines) + "\n")
+
+    def loader(path):
+        key = "/".join(path.replace("\\", "/").split("/")[-2:]).replace(".jpg", "")
+        return images.get(key)
+
+    model = FakeBlobDetectionModel(confidence_threshold=0.5, image_size=64)
+    ev = OfficialWiderFaceEvaluator(
+        model,
+        images_path=str(tmp_path / "imgs"),
+        gt_txt=str(gt_txt),
+        use_sahi=True,
+        sahi_config={"slice_height": 64, "slice_width": 64, "overlap_ratio": 0.2},
+        inference_confidence=0.4,
+        output_dir=str(tmp_path / "out"),
+        image_loader=loader,
+        perform_standard_pred=False,
+    )
+    results = ev.run(save=False)
+    assert results["aps"]["all"] > 0.95, results["aps"]
+
+    # analytic bucket count for this image set
+    buckets = set()
+    for h, w in sizes:
+        grid = compute_slice_grid(h, w, 64, 64, 0.2, 0.2)
+        buckets.add(
+            (
+                bucket_image_dim(grid.padded_h),
+                bucket_image_dim(grid.padded_w),
+                bucket_tile_count(grid.num_tiles),
+            )
+        )
+    compiles = sum(
+        entry["single"]._cache_size() for entry in model._fused_cache.values()
+    )
+    assert compiles <= len(buckets), (compiles, len(buckets), sorted(buckets))
+    # and the bucket count itself stays tiny vs 300 unique-ish resolutions
+    assert len(buckets) <= 12, sorted(buckets)
