@@ -12,14 +12,20 @@ algorithm descriptions: MSCN coefficients, GGD/AGGD moment-matching fits, the
 two-scale 18+18-dim NIQE patch features and 36-dim BRISQUE features, and
 NIQE's Mahalanobis scoring against a pristine multivariate-Gaussian model.
 
-Caveat (documented divergence): the official NIQE pristine model and the
+Calibration (documented divergence): the official NIQE pristine model and the
 BRISQUE SVR weights ship as binary artifacts (niqe_image_params.mat, LIVE-R2
-SVR) that are not re-derivable from code. ``fit_niqe_model`` rebuilds a
-pristine model from any folder of clean images; ``DEFAULT_NIQE_MODEL`` is fit
-at import time from procedurally generated naturalistic images, so absolute
-values differ from pyiqa while orderings (clean < distorted) agree — which is
-what the reference pipelines use the scores for (delta indicators,
-:218-270). BRISQUE is scored NIQE-style against the same pristine model.
+SVR) trained on non-redistributable corpora. This module instead loads FROZEN
+committed artifacts from ``eval/assets/`` (regenerate with ``python -m
+facedet_tpu.eval.iqa_train``): a pristine MVG model fit once from a
+reproducible synthetic-naturalistic corpus, and an RBF kernel-ridge BRISQUE
+regressor trained on a graded distortion bank with BRISQUE-convention targets
+(pristine ~5, destroyed ~85). Absolute scores are therefore stable across
+runs/releases and live in the published BRISQUE 0-100 range, but are
+calibrated against the synthetic corpus, not LIVE-DMOS: deltas and orderings
+are comparable with pyiqa's, absolute values are not guaranteed to match
+(pyiqa cannot be installed in this environment to measure the offset).
+``fit_niqe_model`` still rebuilds a pristine model from any corpus of clean
+images for users who want their own calibration.
 """
 from __future__ import annotations
 
@@ -192,10 +198,27 @@ def _synthetic_pristine_images(n: int = 6, size: int = 256, seed: int = 0) -> li
     return imgs
 
 
+_ASSETS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
+
+
 @functools.lru_cache(maxsize=1)
 def _default_model() -> tuple[np.ndarray, np.ndarray]:
+    """Frozen committed pristine model; self-fit fallback if the asset is
+    missing (keeps the module usable from a partial checkout)."""
+    path = os.path.join(_ASSETS_DIR, "niqe_pristine.npz")
+    if os.path.exists(path):
+        data = np.load(path)
+        return data["mu"], data["cov"]
     model = fit_niqe_model(_synthetic_pristine_images())
     return model["mu"], model["cov"]
+
+
+@functools.lru_cache(maxsize=1)
+def _brisque_svr() -> Optional[dict]:
+    path = os.path.join(_ASSETS_DIR, "brisque_svr.npz")
+    if os.path.exists(path):
+        return dict(np.load(path))
+    return None
 
 
 def _mahalanobis_score(feats: np.ndarray, mu: np.ndarray, cov: np.ndarray) -> float:
@@ -220,15 +243,21 @@ def niqe(image: np.ndarray, model: Optional[dict] = None) -> float:
 
 
 def brisque(image: np.ndarray, model: Optional[dict] = None) -> float:
-    """BRISQUE-features score (lower = better), scored NIQE-style against the
-    pristine model (no SVR weights available — see module caveat). Scaled x10
-    to land in a BRISQUE-like range."""
+    """BRISQUE score (lower = better) through the frozen SVR-style regressor
+    (see module calibration note). ``model``: pass a pristine {mu, cov} to
+    force the legacy Mahalanobis scoring, or a regressor dict with ``sv`` to
+    use a custom SVR."""
     gray = _to_gray(image)
     feats = brisque_features(gray)[None]
-    if model is not None:
+    if model is not None and "sv" not in model:
         mu, cov = np.asarray(model["mu"]), np.asarray(model["cov"])
-    else:
-        mu, cov = _default_model()
+        return 10.0 * _mahalanobis_score(feats, mu, cov)
+    svr = model if model is not None else _brisque_svr()
+    if svr is not None:
+        from facedet_tpu.eval.iqa_train import svr_predict
+
+        return float(svr_predict(svr, feats)[0])
+    mu, cov = _default_model()
     return 10.0 * _mahalanobis_score(feats, mu, cov)
 
 

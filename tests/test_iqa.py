@@ -85,3 +85,51 @@ def test_custom_pristine_model_and_scores_dict():
 def test_rgb_input_accepted():
     rgb = np.stack([natural_image(seed=6)] * 3, -1).astype(np.uint8)
     assert np.isfinite(niqe(rgb))
+
+
+def test_frozen_artifacts_loaded_and_stable():
+    """The committed pristine model / SVR make absolute scores deterministic
+    across processes (VERDICT r1 #8)."""
+    import os
+    import subprocess
+    import sys
+
+    from facedet_tpu.eval import iqa
+
+    assert os.path.exists(os.path.join(iqa._ASSETS_DIR, "niqe_pristine.npz"))
+    assert os.path.exists(os.path.join(iqa._ASSETS_DIR, "brisque_svr.npz"))
+    assert iqa._brisque_svr() is not None
+
+    img = np.kron(
+        np.random.default_rng(3).uniform(60, 200, (8, 8)), np.ones((16, 16))
+    ).astype(np.uint8)
+    here = float(iqa.brisque(img))
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import numpy as np\n"
+         "from facedet_tpu.eval.iqa import brisque\n"
+         "img = np.kron(np.random.default_rng(3).uniform(60, 200, (8, 8)),"
+         " np.ones((16, 16))).astype(np.uint8)\n"
+         "print(repr(float(brisque(img))))"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "JAX_PLATFORM_NAME": "cpu"},
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert float(out.stdout.strip()) == here  # bit-exact across processes
+
+
+def test_brisque_svr_range_and_monotone_severity():
+    from facedet_tpu.eval.iqa import _synthetic_pristine_images, brisque
+    from facedet_tpu.eval.iqa_train import _blur, _noise
+
+    rng = np.random.default_rng(5)
+    img = _synthetic_pristine_images(n=1, size=256, seed=11)[0]
+    clean = brisque(img)
+    blur_scores = [brisque(_blur(img, s)) for s in (1.0, 4.0)]
+    noise_scores = [brisque(_noise(img, s, rng)) for s in (8.0, 32.0)]
+    # BRISQUE-like range and ordering: pristine low, severity increases score
+    assert -10 < clean < 40, clean
+    assert clean < blur_scores[0] < blur_scores[1] + 5, (clean, blur_scores)
+    assert clean < noise_scores[0] < noise_scores[1] + 5, (clean, noise_scores)
+    assert max(blur_scores + noise_scores) < 130
