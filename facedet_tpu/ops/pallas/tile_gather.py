@@ -5,14 +5,29 @@ with per-tile async DMA from the full-resolution image resident in HBM into the
 ``[T, S, S, C]`` output, one grid step per tile. Offsets arrive via scalar
 prefetch so the DMA addresses are known before the kernel body runs.
 
-Status: validated in interpret mode (tests/test_pallas_gather.py). This
-environment's remote TPU compile service rejects ANY dynamic-offset indexing
-driven by prefetched scalars (HTTP 500 from tpu_compile_helper — bisected:
-static-offset DMA and scalar-prefetch compute both compile; dynamic ``pl.ds``
-from a prefetched scalar does not, for both DMA and VMEM loads). The XLA
-gather path (ops/tiler.gather_tiles) measures 0.21 ms for a 6-tile 640x640
-batch on the v5e — not a bottleneck — so XLA remains the default and this
-kernel is opt-in for environments with a full Mosaic toolchain.
+Two formulations:
+
+  * ``gather_tiles_pallas`` — dynamic offsets via scalar prefetch, one grid
+    step per tile. Validated in interpret mode only: the axon remote compile
+    service rejects ANY dynamic-offset indexing driven by prefetched scalars
+    (HTTP 500; bisected — static-offset DMA and scalar-prefetch compute both
+    compile, dynamic ``pl.ds`` from a prefetched scalar does not).
+  * ``gather_tiles_pallas_static`` — offsets baked as compile-time constants
+    (one compile per tile grid), all T HBM->HBM DMAs issued back-to-back from
+    a single kernel invocation and then awaited, so the copies overlap.
+    COMPILES AND RUNS ON THE REAL axon TPU (validated r2: parity vs XLA on
+    the production 1024x1536/640/0.2 grid). Constraints from Mosaic's HBM
+    memref tiling: channels-first [C, H, W] layout (a minor dim of 3 would
+    pad to 128 lanes and reject slicing) and offsets aligned to the (8, 128)
+    tile — y % 8 == 0, x % 128 == 0. Standard SAHI grids satisfy this when
+    slice*(1-overlap) and the edge-clamped offsets are 128-multiples, which
+    holds for the production 640/0.2 config at common resolutions
+    (``pallas_gather_alignment_ok`` checks).
+
+Either way the gather is DMA-bound (~20 us for 6 tiles of 640x640x3 against
+~1 TB/s HBM; the XLA gather measures the same) and is **not** a bottleneck —
+XLA remains the default engine path; these kernels exist as the validated
+Pallas on-ramp for environments/configs that want explicit DMA control.
 """
 from __future__ import annotations
 
@@ -57,3 +72,49 @@ def gather_tiles_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, slice_h, slice_w, c), image.dtype),
     )(jnp.asarray(offsets, jnp.int32), image)
+
+
+def pallas_gather_alignment_ok(offsets) -> bool:
+    """True when every (y, x) offset satisfies Mosaic's HBM slice alignment
+    for the static kernel: y % 8 == 0 and x % 128 == 0."""
+    return all(int(y) % 8 == 0 and int(x) % 128 == 0 for y, x in offsets)
+
+
+def gather_tiles_pallas_static(
+    image_chw: jax.Array, offsets, slice_h: int, slice_w: int
+) -> jax.Array:
+    """Static-offset formulation that compiles on the real axon TPU (see
+    module docstring for the layout/alignment contract).
+
+    image_chw [C,H,W] + offsets: static sequence of (y, x) ints ->
+    tiles [T,C,slice_h,slice_w].
+    """
+    offs = tuple((int(y), int(x)) for y, x in offsets)
+    if not pallas_gather_alignment_ok(offs):
+        raise ValueError(
+            f"offsets must be (8, 128)-aligned for the static pallas gather; "
+            f"got {offs} — use the XLA gather (ops/tiler.gather_tiles) instead"
+        )
+    t = len(offs)
+    c = image_chw.shape[0]
+
+    def kernel(img_ref, out_ref, *sems):
+        copies = []
+        for i, (oy, ox) in enumerate(offs):
+            cp = pltpu.make_async_copy(
+                img_ref.at[:, pl.ds(oy, slice_h), pl.ds(ox, slice_w)],
+                out_ref.at[i],
+                sems[i],
+            )
+            cp.start()
+            copies.append(cp)
+        for cp in copies:
+            cp.wait()
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA] * t,
+        out_shape=jax.ShapeDtypeStruct((t, c, slice_h, slice_w), image_chw.dtype),
+    )(image_chw)
