@@ -46,6 +46,16 @@ def build_detector(cfg: DetectorConfig):
             image_size=cfg.image_size,
             dtype=cfg.dtype,
         )
+    if cfg.family == "onnx":
+        # any exported ultralytics YOLO/RT-DETR .onnx (engine/onnx_wrapper.py)
+        from facedet_tpu.engine.onnx_wrapper import OnnxDetectionModel
+
+        return OnnxDetectionModel(
+            model_path=cfg.model_path,
+            confidence_threshold=cfg.confidence_threshold,
+            image_size=cfg.image_size,
+            max_detections_per_tile=cfg.max_detections_per_tile,
+        )
     raise ValueError(f"unknown detector family {cfg.family!r}")
 
 
@@ -68,7 +78,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     ap.add_argument("--output", default="data/output")
     ap.add_argument("--model-path", default=None, help=".npz / .pt checkpoint")
     ap.add_argument(
-        "--family", default="yolov11", choices=["yolov11", "scrfd", "rtdetr", "fake"]
+        "--family", default="yolov11",
+        choices=["yolov11", "scrfd", "rtdetr", "onnx", "fake"]
     )
     ap.add_argument("--scale", default="s", help="yolo model scale n/s/m/l/x")
     ap.add_argument("--conf", type=float, default=0.3)

@@ -35,7 +35,7 @@ class PostprocessConfig:
 
 @dataclasses.dataclass
 class DetectorConfig:
-    family: str = "yolov11"  # yolov11 | scrfd | rtdetr
+    family: str = "yolov11"  # yolov11 | scrfd | rtdetr | onnx | fake
     scale: str = "s"
     model_path: Optional[str] = None
     confidence_threshold: float = 0.3
