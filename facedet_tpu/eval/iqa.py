@@ -3,9 +3,8 @@
 Reference usage: pipeline_v4_yolo/1_Inference.py:121-183 creates pyiqa NIQE +
 BRISQUE metrics for before/after-enhancement comparison, and :185-216 scores
 individual face crops; published numbers in ``hasil eval niqe.txt`` (which
-also lists TOPIQ-Face — a *trained* transformer IQA whose weights are not
-re-derivable from code; out of scope here, NIQE/BRISQUE cover the pipelines'
-delta-indicator use).
+also lists TOPIQ-Face — covered here by :func:`topiq_face`: exported-ONNX
+weights when available, a documented BRISQUE-derived proxy otherwise).
 
 This module re-implements the full feature machinery from the published
 algorithm descriptions: MSCN coefficients, GGD/AGGD moment-matching fits, the
@@ -45,6 +44,7 @@ __all__ = [
     "niqe",
     "brisque",
     "calculate_iqa_scores",
+    "topiq_face",
     "calculate_face_crop_quality",
 ]
 
@@ -261,9 +261,58 @@ def brisque(image: np.ndarray, model: Optional[dict] = None) -> float:
     return 10.0 * _mahalanobis_score(feats, mu, cov)
 
 
-def calculate_iqa_scores(image: np.ndarray, model: Optional[dict] = None) -> dict:
-    """Both metrics for one image (reference 1_Inference.py:152-183)."""
-    return {"niqe": niqe(image, model), "brisque": brisque(image, model)}
+def topiq_face(image: np.ndarray, model_path: Optional[str] = None) -> float:
+    """Face-IQA score in [0, 1], higher = better (the reference's third IQA
+    column, ``hasil eval niqe.txt:4`` — pyiqa's ``topiq_nr-face``).
+
+    TOPIQ is a *trained* transformer IQA whose GFIQA weights cannot be
+    re-derived from code. Two modes:
+
+      * ``model_path`` given: an exported TOPIQ ``.onnx`` runs through
+        models/onnx_import.py (export offline with
+        ``torch.onnx.export(pyiqa.create_metric('topiq_nr-face').net, ...)``)
+        — true TOPIQ-Face scores.
+      * no weights (this environment): a documented PROXY — the frozen
+        BRISQUE SVR mapped to [0, 1] (quality = 1 - brisque/100). Orderings
+        (enhanced > degraded) match TOPIQ's published behaviour; absolute
+        values are proxy-calibrated, not GFIQA-calibrated.
+    """
+    if model_path:
+        import jax.numpy as jnp
+
+        from facedet_tpu.models.onnx_import import import_onnx
+
+        mod = import_onnx(model_path)
+        hw = mod.input_hw() or (224, 224)
+        img = np.asarray(image, np.float64)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, -1)
+        if img.max() > 1.5:
+            img = img / 255.0
+        # bilinear resize to the graph's input size, NCHW, imagenet norm
+        ys = np.linspace(0, img.shape[0] - 1, hw[0])
+        xs = np.linspace(0, img.shape[1] - 1, hw[1])
+        img = img[np.round(ys).astype(int)][:, np.round(xs).astype(int)]
+        mean = np.array([0.485, 0.456, 0.406])
+        std = np.array([0.229, 0.224, 0.225])
+        x = ((img - mean) / std).transpose(2, 0, 1)[None].astype(np.float32)
+        out = mod(mod.params, jnp.asarray(x))[0]
+        return float(np.asarray(out).reshape(-1)[0])
+    return float(np.clip(1.0 - brisque(image) / 100.0, 0.0, 1.0))
+
+
+def calculate_iqa_scores(
+    image: np.ndarray,
+    model: Optional[dict] = None,
+    topiq_model_path: Optional[str] = None,
+) -> dict:
+    """All three metrics for one image (reference 1_Inference.py:152-183 +
+    the TOPIQ-Face column of its results table)."""
+    return {
+        "niqe": niqe(image, model),
+        "brisque": brisque(image, model),
+        "topiq_face": topiq_face(image, topiq_model_path),
+    }
 
 
 def calculate_face_crop_quality(

@@ -75,7 +75,7 @@ def test_custom_pristine_model_and_scores_dict():
     model = fit_niqe_model(imgs)
     assert model["mu"].shape == (36,) and model["cov"].shape == (36, 36)
     scores = calculate_iqa_scores(imgs[0], model)
-    assert set(scores) == {"niqe", "brisque"}
+    assert set(scores) == {"niqe", "brisque", "topiq_face"}
     # an image drawn from the pristine distribution scores low against it
     rng = np.random.default_rng(9)
     noisy = np.clip(imgs[0] + rng.standard_normal(imgs[0].shape) * 80, 0, 255)
@@ -133,3 +133,40 @@ def test_brisque_svr_range_and_monotone_severity():
     assert clean < blur_scores[0] < blur_scores[1] + 5, (clean, blur_scores)
     assert clean < noise_scores[0] < noise_scores[1] + 5, (clean, noise_scores)
     assert max(blur_scores + noise_scores) < 130
+
+
+def test_topiq_face_proxy_and_onnx_path(tmp_path):
+    from facedet_tpu.eval.iqa import _synthetic_pristine_images, calculate_iqa_scores, topiq_face
+    from facedet_tpu.eval.iqa_train import _blur
+
+    img = _synthetic_pristine_images(n=1, size=256, seed=2)[0]
+    clean = topiq_face(img)
+    blurred = topiq_face(_blur(img, 4.0))
+    assert 0.0 <= blurred < clean <= 1.0  # higher = better, degradation drops it
+    scores = calculate_iqa_scores(np.stack([img] * 3, -1).astype(np.uint8))
+    assert set(scores) == {"niqe", "brisque", "topiq_face"}
+
+    # exported-weights path: a tiny stand-in "TOPIQ" graph through the importer
+    import pytest as _pytest
+
+    torch = _pytest.importorskip("torch")
+    import torch.nn as nn
+
+    from test_onnx_import import export_onnx
+
+    class TinyIqa(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c = nn.Conv2d(3, 4, 3, stride=8, padding=1)
+            self.fc = nn.Linear(4, 1)
+
+        def forward(self, x):
+            y = torch.relu(self.c(x)).mean((2, 3))
+            return torch.sigmoid(self.fc(y))
+
+    torch.manual_seed(0)
+    net = TinyIqa().eval()
+    path = str(tmp_path / "topiq.onnx")
+    export_onnx(net, torch.randn(1, 3, 224, 224), path)
+    score = topiq_face(np.stack([img] * 3, -1).astype(np.uint8), model_path=path)
+    assert 0.0 <= score <= 1.0
