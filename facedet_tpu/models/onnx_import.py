@@ -400,6 +400,88 @@ def _op_pool(env, node, reducer, init, average=False):
     return out
 
 
+def _op_grid_sample(env, node):
+    """GridSample (opset 16+): the op ultralytics RT-DETR exports emit for
+    deformable-attention sampling. X [N,C,H,W], grid [N,Ho,Wo,2] in [-1,1]
+    (x, y); bilinear/nearest, zeros/border padding."""
+    x = env[node.inputs[0]]
+    grid = env[node.inputs[1]]
+    a = node.attrs
+    mode = a.get("mode", "bilinear")
+    padding = a.get("padding_mode", "zeros")
+    align = bool(a.get("align_corners", 0))
+    n, c, h, w = x.shape
+
+    gx, gy = grid[..., 0], grid[..., 1]
+    if align:
+        px = (gx + 1.0) * 0.5 * (w - 1)
+        py = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        px = ((gx + 1.0) * w - 1.0) * 0.5
+        py = ((gy + 1.0) * h - 1.0) * 0.5
+
+    def sample(feat, pxb, pyb):  # feat [C,H,W]; pxb/pyb [Ho,Wo]
+        if mode == "nearest":
+            xi = jnp.round(pxb).astype(jnp.int32)
+            yi = jnp.round(pyb).astype(jnp.int32)
+            inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            xi = jnp.clip(xi, 0, w - 1)
+            yi = jnp.clip(yi, 0, h - 1)
+            out = feat[:, yi, xi]
+            if padding == "zeros":
+                out = out * inside[None]
+            return out
+        x0 = jnp.floor(pxb)
+        y0 = jnp.floor(pyb)
+        dx = pxb - x0
+        dy = pyb - y0
+
+        def at(yi, xi):
+            inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            xi = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+            yi = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
+            v = feat[:, yi, xi]
+            return v * inside[None] if padding == "zeros" else v
+
+        return (
+            at(y0, x0) * ((1 - dx) * (1 - dy))[None]
+            + at(y0, x0 + 1) * (dx * (1 - dy))[None]
+            + at(y0 + 1, x0) * ((1 - dx) * dy)[None]
+            + at(y0 + 1, x0 + 1) * (dx * dy)[None]
+        )
+
+    return jax.vmap(sample)(x, px, py)
+
+
+def _op_topk(env, node):
+    x = env[node.inputs[0]]
+    k = int(np.asarray(env[node.inputs[1]]).reshape(()))
+    axis = node.attrs.get("axis", -1)
+    largest = node.attrs.get("largest", 1)
+    moved = jnp.moveaxis(x, axis, -1)
+    vals, idx = jax.lax.top_k(moved if largest else -moved, k)
+    if not largest:
+        vals = -vals
+    return (
+        jnp.moveaxis(vals, -1, axis),
+        jnp.moveaxis(idx.astype(jnp.int64), -1, axis),
+    )
+
+
+def _op_layernorm(env, node):
+    x = env[node.inputs[0]]
+    scale = jnp.asarray(env[node.inputs[1]])
+    axis = node.attrs.get("axis", -1)
+    eps = node.attrs.get("epsilon", 1e-5)
+    axes = tuple(range(axis % x.ndim, x.ndim))
+    mu = jnp.mean(x, axes, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axes, keepdims=True)
+    out = (x - mu) * jax.lax.rsqrt(var + eps) * scale
+    if len(node.inputs) > 2 and node.inputs[2]:
+        out = out + jnp.asarray(env[node.inputs[2]])
+    return out
+
+
 def _op_slice(env, node):
     x = env[node.inputs[0]]
     a = node.attrs
@@ -545,7 +627,49 @@ _OPS: dict[str, Callable] = {
         axis=tuple(n.attrs.get("axes", range(env[n.inputs[0]].ndim))),
         keepdims=bool(n.attrs.get("keepdims", 1)),
     ),
+    "GridSample": _op_grid_sample,
+    "LayerNormalization": _op_layernorm,
+    "Erf": lambda env, n: jax.lax.erf(env[n.inputs[0]]),
+    "Neg": lambda env, n: -env[n.inputs[0]],
+    "Pow": _binop(np.power, jnp.power),
+    "Greater": _binop(np.greater, jnp.greater),
+    "Less": _binop(np.less, jnp.less),
+    "Equal": _binop(np.equal, jnp.equal),
+    "Not": lambda env, n: ~env[n.inputs[0]],
+    "And": _binop(np.logical_and, jnp.logical_and),
+    "Or": _binop(np.logical_or, jnp.logical_or),
+    "Where": lambda env, n: (
+        np.where(env[n.inputs[0]], env[n.inputs[1]], env[n.inputs[2]])
+        if all(_is_static(env[n.inputs[i]]) for i in range(3))
+        else jnp.where(env[n.inputs[0]], env[n.inputs[1]], env[n.inputs[2]])
+    ),
+    "Expand": lambda env, n: jnp.broadcast_to(
+        env[n.inputs[0]],
+        np.broadcast_shapes(
+            np.shape(env[n.inputs[0]]),
+            tuple(int(v) for v in np.asarray(env[n.inputs[1]])),
+        ),
+    ),
+    "Range": lambda env, n: np.arange(
+        np.asarray(env[n.inputs[0]]).reshape(()),
+        np.asarray(env[n.inputs[1]]).reshape(()),
+        np.asarray(env[n.inputs[2]]).reshape(()),
+    ),
+    "ReduceSum": lambda env, n: jnp.sum(
+        env[n.inputs[0]],
+        axis=tuple(
+            n.attrs.get("axes")
+            or ([int(v) for v in np.asarray(env[n.inputs[1]])] if len(n.inputs) > 1 and n.inputs[1] else range(env[n.inputs[0]].ndim))
+        ),
+        keepdims=bool(n.attrs.get("keepdims", 1)),
+    ),
+    "ReduceMax": lambda env, n: jnp.max(
+        env[n.inputs[0]],
+        axis=tuple(n.attrs.get("axes", range(env[n.inputs[0]].ndim))),
+        keepdims=bool(n.attrs.get("keepdims", 1)),
+    ),
     "Split": None,  # handled specially (multi-output)
+    "TopK": None,  # handled specially (multi-output)
 }
 
 
@@ -594,6 +718,12 @@ class OnnxModule:
         for name, x in zip(self.input_names, inputs):
             env[name] = x
         for node in self.graph.nodes:
+            if node.op_type == "TopK":
+                vals, idx = _op_topk(env, node)
+                env[node.outputs[0]] = vals
+                if len(node.outputs) > 1:
+                    env[node.outputs[1]] = idx
+                continue
             if node.op_type == "Split":
                 x = env[node.inputs[0]]
                 axis = node.attrs.get("axis", 0)

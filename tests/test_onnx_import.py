@@ -179,3 +179,73 @@ def test_parse_reports_shapes_and_graph(tmp_path):
     assert {"Conv", "Relu", "Add", "Sigmoid"} <= ops
     mod = import_onnx(str(tmp_path / "g.onnx"))
     assert mod.input_hw() == (64, 64)
+
+
+def test_grid_sample_topk_layernorm(tmp_path):
+    """The op trio ultralytics RT-DETR exports lean on: deformable-attention
+    GridSample, top-k query selection, LayerNormalization."""
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln = nn.LayerNorm(6)
+
+        def forward(self, x):
+            n, c, h, w = x.shape
+            ys = torch.linspace(-0.9, 0.9, 5)
+            xs = torch.linspace(-0.9, 0.9, 6)
+            gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+            grid = torch.stack([gx, gy], -1)[None].expand(n, -1, -1, -1)
+            s = torch.nn.functional.grid_sample(
+                x, grid, mode="bilinear", padding_mode="zeros", align_corners=False
+            )  # [n, c, 5, 6]
+            s = self.ln(s.flatten(2).transpose(1, 2).reshape(n, 5 * c, 6))
+            vals, idx = torch.topk(s, k=3, dim=1)
+            return vals, idx.float()
+
+    torch.manual_seed(8)
+    m = Net().eval()
+    x = np.random.default_rng(8).standard_normal((2, 4, 9, 11), np.float32)
+    path = str(tmp_path / "ops16.onnx")
+    export_onnx(m, torch.as_tensor(x), path, opset=16)
+    with torch.no_grad():
+        want = [t.numpy() for t in m(torch.as_tensor(x))]
+    mod = import_onnx(path)
+    got = mod(mod.params, x)
+    np.testing.assert_allclose(np.asarray(got[0]), want[0], atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), want[1], atol=1e-4)
+
+
+def test_grid_sample_padding_and_align_variants(tmp_path):
+    class Net(nn.Module):
+        def __init__(self, mode, padding, align):
+            super().__init__()
+            self.mode, self.padding, self.align = mode, padding, align
+
+        def forward(self, x):
+            n = x.shape[0]
+            # grid partly out of bounds to exercise padding behaviour
+            ys = torch.linspace(-1.4, 1.4, 4)
+            xs = torch.linspace(-1.4, 1.4, 5)
+            gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+            grid = torch.stack([gx, gy], -1)[None].expand(n, -1, -1, -1)
+            return torch.nn.functional.grid_sample(
+                x, grid, mode=self.mode, padding_mode=self.padding,
+                align_corners=self.align,
+            )
+
+    x = np.random.default_rng(9).standard_normal((1, 3, 7, 8), np.float32)
+    for mode, padding, align in [
+        ("bilinear", "zeros", False),
+        ("bilinear", "border", True),
+        ("nearest", "zeros", True),
+    ]:
+        m = Net(mode, padding, align).eval()
+        path = str(tmp_path / f"gs_{mode}_{padding}_{align}.onnx")
+        export_onnx(m, torch.as_tensor(x), path, opset=16)
+        with torch.no_grad():
+            want = m(torch.as_tensor(x)).numpy()
+        mod = import_onnx(path)
+        got = np.asarray(mod(mod.params, x)[0])
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4,
+                                   err_msg=f"{mode}/{padding}/{align}")
