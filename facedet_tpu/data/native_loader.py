@@ -51,6 +51,15 @@ def _load_native():
                 ctypes.c_int,
             ]
             lib.jpeg_decode_rgb.restype = ctypes.c_int
+            lib.jpeg_decode_yuv420.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.jpeg_decode_yuv420.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _failed = True
@@ -72,6 +81,48 @@ def load_image_native(path: str) -> Optional[np.ndarray]:
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), h.value, w.value
     )
     return out if rc == 0 else None
+
+
+def load_image_yuv420(path: str):
+    """Decode a JPEG straight to (Y [H,W], UV [ceil(H/2),ceil(W/2),2]) uint8
+    planes via libjpeg's raw-data path (no chroma upsample, no RGB convert) —
+    the zero-copy source for the engine's ``input_format="yuv420"`` ingest.
+    Falls back to RGB decode + host subsample for non-4:2:0 files; returns
+    None when the image cannot be decoded at all."""
+    lib = _load_native()
+    if lib is not None and path.lower().endswith((".jpg", ".jpeg")):
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        c = ctypes.c_int()
+        if (
+            lib.jpeg_dims(path.encode(), ctypes.byref(h), ctypes.byref(w), ctypes.byref(c))
+            == 0
+        ):
+            ph = -(-h.value // 16) * 16
+            pw = -(-w.value // 16) * 16
+            y = np.empty((ph, pw), np.uint8)
+            cb = np.empty((ph // 2, pw // 2), np.uint8)
+            cr = np.empty((ph // 2, pw // 2), np.uint8)
+            p = ctypes.POINTER(ctypes.c_ubyte)
+            rc = lib.jpeg_decode_yuv420(
+                path.encode(),
+                y.ctypes.data_as(p),
+                cb.ctypes.data_as(p),
+                cr.ctypes.data_as(p),
+                ph,
+                pw,
+            )
+            if rc == 0:
+                hh, ww = -(-h.value // 2), -(-w.value // 2)
+                uv = np.stack([cb[:hh, :ww], cr[:hh, :ww]], axis=-1)
+                return y[: h.value, : w.value], uv
+    try:
+        rgb = load_image(path)
+    except Exception:
+        return None
+    from facedet_tpu.ops.color import rgb_to_yuv420
+
+    return rgb_to_yuv420(rgb)
 
 
 def load_image(path: str) -> np.ndarray:

@@ -123,13 +123,23 @@ def _get_fused_pipeline(
         capacity,
         img_size,
         use_pallas,
+        input_format,
     ) = key
     def core(variables, image, offsets, tile_valid, true_hw):
-        imgf = (
-            image.astype(jnp.float32) / 255.0
-            if image.dtype == jnp.uint8
-            else image.astype(jnp.float32)
-        )
+        if input_format == "yuv420":
+            # low-bandwidth ingest: planar (Y, UV) uint8 at 1.5 bytes/pixel;
+            # chroma upsample + BT.601 conversion run on device and fuse into
+            # the pipeline (ops/color.py) — halves the dominant H2D cost
+            from facedet_tpu.ops.color import yuv420_to_rgb_f32
+
+            y, uv = image
+            imgf = yuv420_to_rgb_f32(y, uv)
+        else:
+            imgf = (
+                image.astype(jnp.float32) / 255.0
+                if image.dtype == jnp.uint8
+                else image.astype(jnp.float32)
+            )
         padded = imgf  # already padded to (bucket_h, bucket_w) on host
         tiles = gather_tiles(padded, offsets, slice_h, slice_w, use_pallas=use_pallas)
         if mesh is not None:
@@ -199,12 +209,50 @@ def _get_fused_pipeline(
     return entry
 
 
-def _prepare_image(image) -> np.ndarray:
+def _prepare_image(image):
+    if isinstance(image, tuple):  # pre-decoded (Y, UV) planes (yuv420 ingest)
+        y, uv = image
+        if y.ndim != 2 or uv.ndim != 3 or uv.shape[-1] != 2:
+            raise ValueError("yuv420 input must be (Y [H,W], UV [h2,w2,2])")
+        return image
     img = np.asarray(image)
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
     if img.shape[-1] == 4:
         img = img[..., :3]
+    return img
+
+
+def _image_hw(img) -> tuple[int, int]:
+    if isinstance(img, tuple):
+        return img[0].shape[0], img[0].shape[1]
+    return img.shape[0], img.shape[1]
+
+
+def _to_yuv_planes(img) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(img, tuple):
+        return img
+    from facedet_tpu.ops.color import rgb_to_yuv420
+
+    return rgb_to_yuv420(img)
+
+
+def _pad_yuv_planes(img, bucket_h: int, bucket_w: int):
+    """(Y, UV) planes -> zero/neutral-padded bucketed planes (host numpy)."""
+    y, uv = _to_yuv_planes(img)
+    y_p = np.zeros((bucket_h, bucket_w), np.uint8)
+    y_p[: y.shape[0], : y.shape[1]] = y
+    uv_p = np.full((bucket_h // 2, bucket_w // 2, 2), 128, np.uint8)
+    uv_p[: uv.shape[0], : uv.shape[1]] = uv
+    return y_p, uv_p
+
+
+def _display_image(img) -> np.ndarray:
+    """RGB array for result objects (reconstructs YUV-ingested frames)."""
+    if isinstance(img, tuple):
+        from facedet_tpu.ops.color import yuv420_to_rgb_np
+
+        return yuv420_to_rgb_np(img[0], img[1])
     return img
 
 
@@ -223,6 +271,7 @@ def _dispatch_sliced(
     auto_slice_resolution,
     merge_capacity,
     use_pallas_gather,
+    input_format="rgb",
     mesh=None,
 ):
     """Asynchronously dispatch the fused sliced pipeline for one image.
@@ -230,7 +279,7 @@ def _dispatch_sliced(
     Returns (device Detections [not yet fetched], grid, tile bucket,
     durations dict) — callers overlap several in-flight images
     (predict_stream) before blocking on device_get."""
-    h, w = img.shape[:2]
+    h, w = _image_hw(img)
     durations: dict[str, float] = {}
     t0 = time.perf_counter()
     if slice_height is None or slice_width is None:
@@ -267,9 +316,13 @@ def _dispatch_sliced(
         int(merge_capacity),
         img_size,
         bool(use_pallas_gather),
+        str(input_format),
     )
     fused = _get_fused_pipeline(detection_model, key, mesh=mesh)
-    if isinstance(img, np.ndarray):
+    if input_format == "yuv420":
+        y_p, uv_p = _pad_yuv_planes(img, bucket_h, bucket_w)
+        img_dev = (jnp.asarray(y_p), jnp.asarray(uv_p))
+    elif isinstance(img, np.ndarray):
         if img.shape[0] != bucket_h or img.shape[1] != bucket_w:
             img_padded = np.zeros((bucket_h, bucket_w, img.shape[2]), img.dtype)
             img_padded[: img.shape[0], : img.shape[1]] = img
@@ -298,7 +351,8 @@ def _dispatch_sliced(
         variables = detection_model._mesh_vars[1]
     else:
         variables = detection_model.variables
-        device = getattr(img_dev, "devices", lambda: None)()
+        leaf = img_dev[0] if isinstance(img_dev, tuple) else img_dev
+        device = getattr(leaf, "devices", lambda: None)()
         if device:  # keep aux inputs on the image's (possibly non-default) device
             dev = next(iter(device))
             offsets_dev = jax.device_put(jnp.asarray(offsets), dev)
@@ -323,8 +377,8 @@ def _dispatch_sliced_batch(imgs: list, detection_model: DetectionModel, opts: di
     """Asynchronously dispatch the vmapped fused pipeline over a list of
     prepared SAME-SIZE images. Returns the un-fetched device Detections pytree
     (batch axis leading) — callers overlap further dispatches before blocking."""
-    h, w = imgs[0].shape[:2]
-    if any(im.shape[:2] != (h, w) for im in imgs):
+    h, w = _image_hw(imgs[0])
+    if any(_image_hw(im) != (h, w) for im in imgs):
         raise ValueError("batched sliced prediction requires same-size images")
     slice_height, slice_width = opts["slice_height"], opts["slice_width"]
     if slice_height is None or slice_width is None:
@@ -353,15 +407,26 @@ def _dispatch_sliced_batch(imgs: list, detection_model: DetectionModel, opts: di
         int(opts["merge_capacity"]),
         img_size,
         False,
+        str(opts.get("input_format", "rgb")),
     )
     fused = _get_fused_pipeline(detection_model, key)
-    batch = np.zeros((len(imgs), bucket_h, bucket_w, imgs[0].shape[2]), imgs[0].dtype)
-    for i, im in enumerate(imgs):
-        batch[i, :h, :w] = im
+    if opts.get("input_format", "rgb") == "yuv420":
+        planes = [_pad_yuv_planes(im, bucket_h, bucket_w) for im in imgs]
+        batch_dev = (
+            jnp.asarray(np.stack([p[0] for p in planes])),
+            jnp.asarray(np.stack([p[1] for p in planes])),
+        )
+    else:
+        batch = np.zeros(
+            (len(imgs), bucket_h, bucket_w, imgs[0].shape[2]), imgs[0].dtype
+        )
+        for i, im in enumerate(imgs):
+            batch[i, :h, :w] = im
+        batch_dev = jnp.asarray(batch)
     true_hw = jnp.tile(jnp.asarray([[h, w]], jnp.float32), (len(imgs), 1))
     return fused["batch"](
         detection_model.variables,
-        jnp.asarray(batch),
+        batch_dev,
         jnp.asarray(offsets),
         jnp.asarray(tile_valid),
         true_hw,
@@ -389,7 +454,7 @@ def get_sliced_prediction_batch(
     )
     if raw:
         return merged
-    h, w = imgs[0].shape[:2]
+    h, w = _image_hw(imgs[0])
     results = []
     for i, im in enumerate(imgs):
         det = jax.tree.map(lambda x: x[i], merged)
@@ -397,7 +462,9 @@ def get_sliced_prediction_batch(
             det, detection_model.category_mapping, full_shape=(h, w)
         )
         results.append(
-            PredictionResult(image=im, object_prediction_list=preds, detections=det)
+            PredictionResult(
+                image=_display_image(im), object_prediction_list=preds, detections=det
+            )
         )
     return results
 
@@ -430,7 +497,7 @@ def predict_stream_batched(
         merged = jax.device_get(merged_dev)
         if raw:
             return merged
-        h, w = imgs[0].shape[:2]
+        h, w = _image_hw(imgs[0])
         out = []
         for i, im in enumerate(imgs):
             det = jax.tree.map(lambda x: x[i], merged)
@@ -438,7 +505,11 @@ def predict_stream_batched(
                 det, detection_model.category_mapping, full_shape=(h, w)
             )
             out.append(
-                PredictionResult(image=im, object_prediction_list=preds, detections=det)
+                PredictionResult(
+                    image=_display_image(im),
+                    object_prediction_list=preds,
+                    detections=det,
+                )
             )
         return out
 
@@ -453,7 +524,7 @@ def predict_stream_batched(
     for image in images:
         img = _prepare_image(image)
         if pending and (
-            img.shape != pending[0].shape or len(pending) >= batch_size
+            _image_hw(img) != _image_hw(pending[0]) or len(pending) >= batch_size
         ):
             flush(pending)
             pending = []
@@ -480,6 +551,7 @@ def _stream_opts(sliced_kwargs: dict) -> dict:
         auto_slice_resolution=sliced_kwargs.get("auto_slice_resolution", True),
         merge_capacity=sliced_kwargs.get("merge_capacity", 1024),
         use_pallas_gather=sliced_kwargs.get("use_pallas_gather", False),
+        input_format=sliced_kwargs.get("input_format", "rgb"),
     )
 
 
@@ -507,10 +579,10 @@ def predict_stream(
         if raw:
             return merged
         preds = detections_to_object_predictions(
-            merged, detection_model.category_mapping, full_shape=img.shape[:2]
+            merged, detection_model.category_mapping, full_shape=_image_hw(img)
         )
         return PredictionResult(
-            image=img,
+            image=_display_image(img),
             object_prediction_list=preds,
             durations_in_seconds=durations,
             detections=merged,
@@ -569,6 +641,7 @@ def get_sliced_prediction(
     merge_capacity: int = 1024,
     merge_buffer_length: Optional[int] = None,
     use_pallas_gather: bool = False,
+    input_format: str = "rgb",
     mesh=None,
     verbose: int = 0,
 ) -> PredictionResult:
@@ -599,9 +672,10 @@ def get_sliced_prediction(
         auto_slice_resolution,
         merge_capacity,
         use_pallas_gather,
+        input_format=input_format,
         mesh=mesh,
     )
-    h, w = img.shape[:2]
+    h, w = _image_hw(img)
     slice_height = slice_height or grid.slice_h
     slice_width = slice_width or grid.slice_w
     t0 = time.perf_counter()
@@ -620,7 +694,7 @@ def get_sliced_prediction(
             + ", ".join(f"{k}={v:.3f}s" for k, v in durations.items())
         )
     return PredictionResult(
-        image=img,
+        image=_display_image(img),
         object_prediction_list=preds,
         durations_in_seconds=durations,
         detections=merged,
