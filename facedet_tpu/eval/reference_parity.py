@@ -1,0 +1,181 @@
+"""Score this framework's detections against reference-run goldens.
+
+Pairs with tools/reference_goldens.py: the goldens JSON holds the reference
+pipeline's actual detections (bbox + conf) on committed real WIDERFACE images
+(reference: temp_streamlit/<image>/crops naming, utils/visualization.py:185).
+This module runs OUR sliced pipeline on the same source images at the
+reference's fixed operating point (slice 640 / overlap 0.25 / IOS 0.5 —
+reference: pipeline_v4_yolo/1_Inference.py:563-566) and reports box-level
+agreement: the accuracy-parity gate that becomes meaningful the moment
+pretrained weights are converted in (models/convert.py, models/onnx_import.py).
+
+Usage:
+    python -m facedet_tpu.eval.reference_parity \
+        --goldens eval/assets/reference_goldens.json \
+        --ref-dir /root/reference/temp_streamlit \
+        --weights yolo11s-pose.npz [--scale s] [--conf 0.5]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+__all__ = ["match_detections", "compare_image", "run_parity"]
+
+# the reference app's grid-search optimum (1_Inference.py:34,563-566)
+REFERENCE_OPERATING_POINT = dict(
+    slice_height=640,
+    slice_width=640,
+    overlap_height_ratio=0.25,
+    overlap_width_ratio=0.25,
+    postprocess_type="GREEDYNMM",
+    postprocess_match_metric="IOS",
+    postprocess_match_threshold=0.5,
+    perform_standard_pred=True,
+)
+
+
+def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    ix1 = np.maximum(a[:, None, 0], b[None, :, 0])
+    iy1 = np.maximum(a[:, None, 1], b[None, :, 1])
+    ix2 = np.minimum(a[:, None, 2], b[None, :, 2])
+    iy2 = np.minimum(a[:, None, 3], b[None, :, 3])
+    inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / np.maximum(union, 1e-9)
+
+
+def match_detections(
+    golden_boxes: np.ndarray,
+    pred_boxes: np.ndarray,
+    iou_thr: float = 0.5,
+) -> list[tuple[int, int, float]]:
+    """Greedy best-IoU matching; returns (golden_idx, pred_idx, iou) pairs."""
+    if len(golden_boxes) == 0 or len(pred_boxes) == 0:
+        return []
+    iou = _iou_matrix(golden_boxes, pred_boxes)
+    pairs = []
+    used_g, used_p = set(), set()
+    order = np.dstack(np.unravel_index(np.argsort(-iou, axis=None), iou.shape))[0]
+    for gi, pi in order:
+        if iou[gi, pi] < iou_thr:
+            break
+        if gi in used_g or pi in used_p:
+            continue
+        used_g.add(int(gi))
+        used_p.add(int(pi))
+        pairs.append((int(gi), int(pi), float(iou[gi, pi])))
+    return pairs
+
+
+def compare_image(golden: dict, detections, iou_thr: float = 0.5) -> dict:
+    """One image: golden faces vs a list of (bbox_xyxy, score)."""
+    g_boxes = np.array([f["bbox"] for f in golden["faces"]], np.float32).reshape(
+        -1, 4
+    )
+    p_boxes = np.array([d[0] for d in detections], np.float32).reshape(-1, 4)
+    p_scores = np.array([d[1] for d in detections], np.float32)
+    pairs = match_detections(g_boxes, p_boxes, iou_thr)
+    conf_deltas = []
+    for gi, pi, _iou in pairs:
+        lo = golden["faces"][gi]["conf_lo"]
+        hi = golden["faces"][gi]["conf_hi"]
+        s = float(p_scores[pi])
+        conf_deltas.append(0.0 if lo <= s <= hi else min(abs(s - lo), abs(s - hi)))
+    n_g, n_p, n_m = len(g_boxes), len(p_boxes), len(pairs)
+    return {
+        "golden_faces": n_g,
+        "predicted": n_p,
+        "matched": n_m,
+        "recall": n_m / n_g if n_g else 1.0,
+        "precision": n_m / n_p if n_p else 1.0,
+        "mean_iou": float(np.mean([p[2] for p in pairs])) if pairs else 0.0,
+        "mean_conf_delta": float(np.mean(conf_deltas)) if conf_deltas else None,
+    }
+
+
+def run_parity(
+    goldens: dict,
+    ref_dir: str,
+    detection_model,
+    conf: float = 0.5,
+    iou_thr: float = 0.5,
+    operating_point: dict | None = None,
+) -> dict:
+    """Run the sliced pipeline on every golden image and aggregate agreement."""
+    from facedet_tpu.data.native_loader import load_image
+    from facedet_tpu.engine.predict import get_sliced_prediction
+
+    op = dict(REFERENCE_OPERATING_POINT)
+    op.update(operating_point or {})
+    per_image = {}
+    for name, golden in goldens["images"].items():
+        src = os.path.join(ref_dir, name, "temp_sahi_input.jpg")
+        if not os.path.exists(src):
+            continue
+        result = get_sliced_prediction(load_image(src), detection_model, **op)
+        dets = [
+            (p.bbox.to_xyxy(), p.score.value)
+            for p in result.object_prediction_list
+            if p.score.value >= conf
+        ]
+        per_image[name] = compare_image(golden, dets, iou_thr)
+    matched = sum(r["matched"] for r in per_image.values())
+    total_g = sum(r["golden_faces"] for r in per_image.values())
+    total_p = sum(r["predicted"] for r in per_image.values())
+    deltas = [
+        r["mean_conf_delta"] for r in per_image.values() if r["mean_conf_delta"] is not None
+    ]
+    return {
+        "images": per_image,
+        "recall": matched / total_g if total_g else None,
+        "precision": matched / total_p if total_p else None,
+        "mean_conf_delta": float(np.mean(deltas)) if deltas else None,
+        "operating_point": {k: str(v) for k, v in op.items()},
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--goldens", required=True)
+    ap.add_argument("--ref-dir", required=True)
+    ap.add_argument("--weights", help="converted checkpoint (.npz) for the detector")
+    ap.add_argument("--scale", default="s")
+    ap.add_argument("--conf", type=float, default=0.5)
+    ap.add_argument("--iou", type=float, default=0.5)
+    ap.add_argument("--out", help="write the full JSON report here")
+    args = ap.parse_args(argv)
+    with open(args.goldens) as f:
+        goldens = json.load(f)
+    from facedet_tpu.engine.detector import YoloV11PoseDetectionModel
+
+    model = YoloV11PoseDetectionModel(
+        model_path=args.weights,
+        scale=args.scale,
+        dtype="bfloat16",
+        confidence_threshold=min(args.conf, 0.25),
+        image_size=1024,
+    )
+    report = run_parity(goldens, args.ref_dir, model, conf=args.conf, iou_thr=args.iou)
+    if not args.weights:
+        report["note"] = (
+            "random-init weights: agreement numbers are the harness smoke, "
+            "not a parity claim — pass --weights with a converted checkpoint"
+        )
+    print(
+        json.dumps(
+            {k: v for k, v in report.items() if k != "images"}, indent=1
+        )
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
