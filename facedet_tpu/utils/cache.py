@@ -24,12 +24,18 @@ def _machine_fingerprint() -> str:
     between hosts across rounds, so entries must not outlive the host."""
     try:
         with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    import jax
+            # flags alone are too weak: LLVM's target tuning (e.g.
+            # +prefer-no-gather on Sapphire Rapids) differs between hosts
+            # whose cpuinfo flags lines are identical — include the model
+            # identity so a host hop invalidates the CPU executables
+            keep = ("flags", "model name", "model\t", "cpu family", "stepping")
+            lines = sorted(
+                {line.strip() for line in f if line.startswith(keep)}
+            )
+        import jax
 
-                    key = line + jax.__version__
-                    return hashlib.sha1(key.encode()).hexdigest()[:10]
+        key = "\n".join(lines) + jax.__version__
+        return hashlib.sha1(key.encode()).hexdigest()[:10]
     except OSError:
         pass
     return "unknown"
