@@ -34,7 +34,9 @@ DEFAULT_CATEGORY_MAPPING = {"0": "face"}
 
 
 def load_params_npz(path: str) -> dict:
-    """Flat 'a/b/c' -> nested variables dict."""
+    """Flat 'a/b/c' -> nested variables dict. float16 entries (the compact
+    committed-asset encoding, see ``save_params_npz(half=True)``) are widened
+    back to float32 — compute dtype is the model's concern, not storage's."""
     flat = np.load(path)
     tree: dict = {}
     for key in flat.files:
@@ -42,11 +44,16 @@ def load_params_npz(path: str) -> dict:
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(flat[key])
+        arr = flat[key]
+        if arr.dtype == np.float16:
+            arr = arr.astype(np.float32)
+        node[parts[-1]] = jnp.asarray(arr)
     return tree
 
 
-def save_params_npz(path: str, variables: dict) -> None:
+def save_params_npz(path: str, variables: dict, half: bool = False) -> None:
+    """``half=True`` stores float32 arrays as float16 (compressed): ~4x
+    smaller on disk, for checkpoints committed to the repo as assets."""
     flat = {}
 
     def walk(node, prefix):
@@ -54,10 +61,13 @@ def save_params_npz(path: str, variables: dict) -> None:
             for k, v in node.items():
                 walk(v, f"{prefix}/{k}" if prefix else k)
         else:
-            flat[prefix] = np.asarray(node)
+            arr = np.asarray(node)
+            if half and arr.dtype == np.float32:
+                arr = arr.astype(np.float16)
+            flat[prefix] = arr
 
     walk(variables, "")
-    np.savez(path, **flat)
+    (np.savez_compressed if half else np.savez)(path, **flat)
 
 
 class DetectionModel:

@@ -144,8 +144,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--goldens", required=True)
     ap.add_argument("--ref-dir", required=True)
-    ap.add_argument("--weights", help="converted checkpoint (.npz) for the detector")
+    ap.add_argument("--weights", help="converted checkpoint (.npz) for the detector; "
+                    "eval/assets/yolo11n_golden.npz (trained by tools/golden_finetune) "
+                    "is the committed real-data checkpoint (use --scale n --imgsz 640)")
     ap.add_argument("--scale", default="s")
+    ap.add_argument("--imgsz", type=int, default=1024)
     ap.add_argument("--conf", type=float, default=0.5)
     ap.add_argument("--iou", type=float, default=0.5)
     ap.add_argument("--out", help="write the full JSON report here")
@@ -159,7 +162,7 @@ def main(argv=None):
         scale=args.scale,
         dtype="bfloat16",
         confidence_threshold=min(args.conf, 0.25),
-        image_size=1024,
+        image_size=args.imgsz,
     )
     report = run_parity(goldens, args.ref_dir, model, conf=args.conf, iou_thr=args.iou)
     if not args.weights:

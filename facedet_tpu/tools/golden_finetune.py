@@ -1,0 +1,245 @@
+"""Fine-tune YOLOv11 on the reference-golden WIDERFACE images and score the
+trained weights through the real sliced pipeline against the reference's own
+detections.
+
+This closes the accuracy loop on REAL data in a zero-egress environment: no
+pretrained checkpoints can be downloaded, but the reference repo commits 16
+actual WIDERFACE images together with its pipeline's detection artifacts
+(temp_streamlit/<image>/crops — recovered into eval/assets/reference_goldens.json
+by tools/reference_goldens.py). Training on the reference's detections and
+replaying inference at its fixed operating point (640/0.25/IOS/0.5 —
+reference: pipeline_v4_yolo/1_Inference.py:563-566) exercises every stage the
+reference exercises: data -> TAL/DFL training -> checkpoint -> sliced
+inference -> merge -> box agreement.
+
+Honesty note: 16 images cannot prove WIDERFACE-scale generalisation. The
+train-split parity numbers demonstrate the *pipeline* (can the stack fit real
+faces and recover them through slicing+merge); the held-out split is a small
+but genuine generalisation smoke. Both are reported separately.
+
+Run (TPU): python -m facedet_tpu.tools.golden_finetune --steps 800
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+GOLDENS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "eval", "assets", "reference_goldens.json",
+)
+REF_DIR = "/root/reference"
+
+
+def load_golden_dataset(
+    goldens_path: str = GOLDENS_PATH, ref_dir: str = REF_DIR
+) -> list[dict]:
+    """[{name, image uint8 [H,W,3], boxes float32 [N,4] xyxy}] for every
+    golden image whose source file exists."""
+    from facedet_tpu.data.native_loader import load_image
+
+    with open(goldens_path) as f:
+        goldens = json.load(f)
+    records = []
+    for name, rec in sorted(goldens["images"].items()):
+        src = os.path.join(ref_dir, name, "temp_sahi_input.jpg")
+        if not os.path.exists(src):
+            continue
+        boxes = np.array([f["bbox"] for f in rec["faces"]], np.float32).reshape(-1, 4)
+        records.append({"name": name, "image": load_image(src), "boxes": boxes})
+    return records
+
+
+def split_records(records: list[dict], holdout_every: int = 4):
+    """Deterministic train/held-out split: every ``holdout_every``-th record
+    (sorted by name) is held out — 12 train / 4 held-out on the full set."""
+    train = [r for i, r in enumerate(records) if i % holdout_every != holdout_every - 1]
+    held = [r for i, r in enumerate(records) if i % holdout_every == holdout_every - 1]
+    return train, held
+
+
+def _remap_boxes(
+    boxes: np.ndarray, x0: float, y0: float, win: float, out: int,
+    min_visible: float = 0.4, min_px: float = 3.0,
+) -> np.ndarray:
+    """Shift boxes into a window at (x0,y0) of size ``win``, scale to ``out``,
+    clip, and drop boxes with <``min_visible`` of their area left visible."""
+    if len(boxes) == 0:
+        return boxes.reshape(0, 4)
+    b = boxes - np.array([x0, y0, x0, y0], np.float32)
+    area = np.maximum(b[:, 2] - b[:, 0], 0) * np.maximum(b[:, 3] - b[:, 1], 0)
+    c = np.clip(b, 0, win)
+    c_area = np.maximum(c[:, 2] - c[:, 0], 0) * np.maximum(c[:, 3] - c[:, 1], 0)
+    keep = c_area >= min_visible * np.maximum(area, 1e-9)
+    c = c[keep] * (out / win)
+    wh = c[:, 2:] - c[:, :2]
+    return c[(wh[:, 0] >= min_px) & (wh[:, 1] >= min_px)]
+
+
+def sample_crop(
+    rec: dict, rng: np.random.Generator, out: int = 640,
+    scale_range: tuple[float, float] = (0.6, 1.6), max_boxes: int = 64,
+):
+    """One training example: a face-anchored random window resized to
+    ``out`` x ``out`` (PIL bilinear), boxes remapped, random h-flip."""
+    from PIL import Image
+
+    img, boxes = rec["image"], rec["boxes"]
+    h, w = img.shape[:2]
+    win = int(out * rng.uniform(*scale_range))
+    win = min(win, h, w)
+    if len(boxes):
+        fx1, fy1, fx2, fy2 = boxes[rng.integers(len(boxes))]
+        cx = (fx1 + fx2) / 2 + rng.uniform(-0.3, 0.3) * win
+        cy = (fy1 + fy2) / 2 + rng.uniform(-0.3, 0.3) * win
+    else:
+        cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+    x0 = int(np.clip(cx - win / 2, 0, w - win))
+    y0 = int(np.clip(cy - win / 2, 0, h - win))
+    crop = img[y0 : y0 + win, x0 : x0 + win]
+    if win != out:
+        crop = np.asarray(
+            Image.fromarray(crop).resize((out, out), Image.BILINEAR)
+        )
+    b = _remap_boxes(boxes, x0, y0, win, out)
+    if rng.random() < 0.5:
+        crop = crop[:, ::-1]
+        b = np.stack([out - b[:, 2], b[:, 1], out - b[:, 0], b[:, 3]], -1) if len(b) else b
+    b = b[:max_boxes]
+    out_boxes = np.zeros((max_boxes, 4), np.float32)
+    out_mask = np.zeros((max_boxes,), bool)
+    out_boxes[: len(b)] = b
+    out_mask[: len(b)] = True
+    # uint8 crops: the tunneled TPU link is bandwidth-bound, so batches ship
+    # at 1 B/px and are normalised on device (see main's to_f32)
+    return np.ascontiguousarray(crop), out_boxes, out_mask
+
+
+def sample_batch(records, rng, batch: int, out: int = 640, max_boxes: int = 64):
+    ims, bxs, mks = zip(
+        *(sample_crop(records[rng.integers(len(records))], rng, out=out,
+                      max_boxes=max_boxes) for _ in range(batch))
+    )
+    return np.stack(ims), np.stack(bxs), np.stack(mks)
+
+
+def parity_on_split(detection_model, goldens: dict, records: list[dict],
+                    ref_dir: str, conf: float, iou: float) -> dict:
+    from facedet_tpu.eval.reference_parity import run_parity
+
+    names = {r["name"] for r in records}
+    subset = {
+        "images": {k: v for k, v in goldens["images"].items() if k in names}
+    }
+    return run_parity(subset, ref_dir, detection_model, conf=conf, iou_thr=iou)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--steps", type=int, default=800)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--scale", default="n")
+    ap.add_argument("--conf", type=float, default=0.35)
+    ap.add_argument("--iou", type=float, default=0.5)
+    ap.add_argument("--goldens", default=GOLDENS_PATH)
+    ap.add_argument("--ref-dir", default=REF_DIR)
+    ap.add_argument("--out-dir", default="runs/golden_finetune")
+    ap.add_argument("--max-parity-images", type=int, default=0,
+                    help="cap each parity split to N images (0 = all; for smokes)")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from facedet_tpu.engine.detector import (
+        YoloV11PoseDetectionModel, save_params_npz,
+    )
+    from facedet_tpu.models.yolov11 import YoloConfig, YoloV11
+    from facedet_tpu.train.yolo_train import make_train_step
+    from facedet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    records = load_golden_dataset(args.goldens, args.ref_dir)
+    if not records:
+        raise SystemExit(f"no golden source images under {args.ref_dir}")
+    train_recs, held_recs = split_records(records)
+    n_faces = sum(len(r["boxes"]) for r in records)
+    print(f"{len(records)} golden images / {n_faces} faces "
+          f"({len(train_recs)} train, {len(held_recs)} held out)")
+
+    cfg = YoloConfig(scale=args.scale, num_classes=1, with_pose=True)
+    model = YoloV11(cfg)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, args.size, args.size, 3)),
+            train=False,
+        )
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, min(100, args.steps // 10), args.steps, args.lr * 0.01
+    )
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.adamw(sched, weight_decay=5e-4))
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx)
+
+    rng = np.random.default_rng(0)
+    max_boxes = 64
+    kpts = jnp.zeros((args.batch, max_boxes, 5, 3))
+    to_f32 = jax.jit(lambda u: u.astype(jnp.float32) / 255.0)
+    t0 = time.perf_counter()
+    for it in range(args.steps):
+        ims, bxs, mks = sample_batch(train_recs, rng, args.batch, args.size, max_boxes)
+        params, batch_stats, opt_state, loss, _ = step(
+            params, batch_stats, opt_state,
+            to_f32(jnp.asarray(ims)), jnp.asarray(bxs), jnp.asarray(mks), kpts,
+        )
+        if it % 100 == 0 or it == args.steps - 1:
+            print(f"step {it}: loss {float(loss):.4f}")
+    train_s = time.perf_counter() - t0
+    print(f"trained {args.steps} steps in {train_s:.1f}s")
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    ckpt = os.path.join(args.out_dir, f"yolo11{args.scale}_golden.npz")
+    save_params_npz(ckpt, {"params": params, "batch_stats": batch_stats})
+    print(f"saved {ckpt}")
+
+    det = YoloV11PoseDetectionModel(
+        scale=args.scale, dtype="bfloat16", confidence_threshold=0.25,
+        image_size=args.size, load_at_init=False,
+    )
+    det.cfg = cfg
+    det.model = model
+    det.variables = {"params": params, "batch_stats": batch_stats}
+
+    with open(args.goldens) as f:
+        goldens = json.load(f)
+    cap = args.max_parity_images or None
+    report = {
+        "steps": args.steps, "train_seconds": round(train_s, 1),
+        "checkpoint": ckpt,
+        "train_split": parity_on_split(
+            det, goldens, train_recs[:cap], args.ref_dir, args.conf, args.iou),
+        "held_out_split": parity_on_split(
+            det, goldens, held_recs[:cap], args.ref_dir, args.conf, args.iou),
+    }
+    for split in ("train_split", "held_out_split"):
+        r = report[split]
+        print(f"{split}: recall {r['recall']:.3f} precision {r['precision']:.3f}"
+              f" (conf>={args.conf}, IoU>={args.iou})")
+    out = os.path.join(args.out_dir, "parity_report.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {out}")
+    return report
+
+
+if __name__ == "__main__":
+    main()

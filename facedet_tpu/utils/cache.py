@@ -17,6 +17,27 @@ DEFAULT_CACHE_ROOT = os.path.join(
 )
 
 
+def _native_march() -> str:
+    """The microarchitecture the compiler detects from live CPUID. Virtualised
+    hosts can expose byte-identical /proc/cpuinfo (generic 'Intel Xeon @
+    2.10GHz') while LLVM still detects different targets — an observed
+    migration flipped sapphirerapids -> cooperlake with no cpuinfo change,
+    leaving +prefer-no-gather-tuned AOT entries that the new host rejects."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["g++", "-march=native", "-E", "-v", "-x", "c++", os.devnull],
+            capture_output=True, text=True, timeout=10,
+        ).stderr
+        for tok in out.split():
+            if tok.startswith("-march=") and tok != "-march=native":
+                return tok
+    except (OSError, subprocess.SubprocessError):
+        pass
+    return "unknown-march"
+
+
 def _machine_fingerprint() -> str:
     """Host-CPU fingerprint scoping the cache directory. XLA:CPU AOT results
     bake in the compile host's machine features; loading one on a different
@@ -27,14 +48,15 @@ def _machine_fingerprint() -> str:
             # flags alone are too weak: LLVM's target tuning (e.g.
             # +prefer-no-gather on Sapphire Rapids) differs between hosts
             # whose cpuinfo flags lines are identical — include the model
-            # identity so a host hop invalidates the CPU executables
+            # identity AND the compiler's CPUID-detected march so a host
+            # hop invalidates the CPU executables
             keep = ("flags", "model name", "model\t", "cpu family", "stepping")
             lines = sorted(
                 {line.strip() for line in f if line.startswith(keep)}
             )
         import jax
 
-        key = "\n".join(lines) + jax.__version__
+        key = "\n".join(lines) + jax.__version__ + _native_march()
         return hashlib.sha1(key.encode()).hexdigest()[:10]
     except OSError:
         pass
