@@ -132,8 +132,11 @@ def _device_accounting(model, img, cfg, bsz):
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     def timed(n):
+        # fetch the scalar: on the tunneled axon platform block_until_ready
+        # returns before remote execution finishes — only a host transfer
+        # actually synchronizes
         t0 = time.perf_counter()
-        jax.block_until_ready(repeat_pipeline(n, *args))
+        float(repeat_pipeline(n, *args))
         return time.perf_counter() - t0
 
     k = 9
@@ -246,13 +249,21 @@ def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int 
 
 
 def _emit(ips, p50, extras=None, complete=True):
+    source = "batched_stream"
+    if not ips and p50 and p50 != float("inf"):
+        # watchdog fired before the batched-stream phase produced a number
+        # (cold compile + stalled link): the synchronous per-image latency is
+        # a true lower bound on throughput — report that over a 0.0 lie
+        ips = 1.0 / p50
+        source = "p50_lower_bound"
     out = {
         "metric": "widerface_sahi640_images_per_sec",
         "value": round(ips, 4),
         "unit": "images/sec",
         "vs_baseline": round(ips / CPU_REFERENCE_IPS, 2),
         "baseline_kind": BASELINE_KIND,
-        "p50_latency_s": round(p50, 4) if p50 is not None else None,
+        "p50_latency_s": round(p50, 4) if p50 is not None and p50 != float("inf") else None,
+        "throughput_source": source,
     }
     out.update(extras or {})
     if not complete:

@@ -152,6 +152,11 @@ def main(argv=None):
     ap.add_argument("--out-dir", default="runs/golden_finetune")
     ap.add_argument("--max-parity-images", type=int, default=0,
                     help="cap each parity split to N images (0 = all; for smokes)")
+    ap.add_argument("--staged", type=int, default=0,
+                    help="pre-stage N uint8 batches in HBM and train with the "
+                    "scan-on-device loop (no per-step host round trip); 0 = "
+                    "host-driven per-step feeding")
+    ap.add_argument("--steps-per-dispatch", type=int, default=100)
     args = ap.parse_args(argv)
 
     import jax
@@ -192,17 +197,51 @@ def main(argv=None):
 
     rng = np.random.default_rng(0)
     max_boxes = 64
-    kpts = jnp.zeros((args.batch, max_boxes, 5, 3))
-    to_f32 = jax.jit(lambda u: u.astype(jnp.float32) / 255.0)
     t0 = time.perf_counter()
-    for it in range(args.steps):
-        ims, bxs, mks = sample_batch(train_recs, rng, args.batch, args.size, max_boxes)
-        params, batch_stats, opt_state, loss, _ = step(
-            params, batch_stats, opt_state,
-            to_f32(jnp.asarray(ims)), jnp.asarray(bxs), jnp.asarray(mks), kpts,
-        )
-        if it % 100 == 0 or it == args.steps - 1:
-            print(f"step {it}: loss {float(loss):.4f}")
+    if args.staged:
+        # scan-on-device: stage the whole (augmented-crop) dataset in HBM as
+        # uint8 once, then each dispatch runs steps_per_dispatch optimizer
+        # steps inside one lax.fori_loop with on-device flips — the tunneled
+        # link pays one upload instead of one RTT + 10 MB per step
+        from facedet_tpu.train.yolo_train import make_staged_train_loop
+
+        batches = [
+            sample_batch(train_recs, rng, args.batch, args.size, max_boxes)
+            for _ in range(args.staged)
+        ]
+        s_ims = jnp.asarray(np.stack([b[0] for b in batches]))
+        s_bxs = jnp.asarray(np.stack([b[1] for b in batches]))
+        s_mks = jnp.asarray(np.stack([b[2] for b in batches]))
+        s_kps = jnp.zeros((args.staged, args.batch, max_boxes, 5, 3))
+        jax.block_until_ready((s_ims, s_bxs, s_mks))
+        print(f"staged {args.staged} batches "
+              f"({s_ims.nbytes / 1e6:.0f} MB uint8) in "
+              f"{time.perf_counter() - t0:.1f}s")
+        spd = min(args.steps_per_dispatch, args.steps)
+        run = make_staged_train_loop(model, tx, steps_per_dispatch=spd)
+        key = jax.random.PRNGKey(3)
+        done = 0
+        while done < args.steps:
+            key, sub = jax.random.split(key)
+            params, batch_stats, opt_state, mean_loss = run(
+                params, batch_stats, opt_state,
+                s_ims, s_bxs, s_mks, s_kps, done, sub,
+            )
+            done += spd
+            print(f"step {done}: mean loss {float(mean_loss):.4f}")
+    else:
+        kpts = jnp.zeros((args.batch, max_boxes, 5, 3))
+        to_f32 = jax.jit(lambda u: u.astype(jnp.float32) / 255.0)
+        for it in range(args.steps):
+            ims, bxs, mks = sample_batch(
+                train_recs, rng, args.batch, args.size, max_boxes
+            )
+            params, batch_stats, opt_state, loss, _ = step(
+                params, batch_stats, opt_state,
+                to_f32(jnp.asarray(ims)), jnp.asarray(bxs), jnp.asarray(mks), kpts,
+            )
+            if it % 100 == 0 or it == args.steps - 1:
+                print(f"step {it}: loss {float(loss):.4f}")
     train_s = time.perf_counter() - t0
     print(f"trained {args.steps} steps in {train_s:.1f}s")
 

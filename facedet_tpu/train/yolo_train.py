@@ -342,6 +342,80 @@ def make_train_step(model: YoloV11, tx: optax.GradientTransformation):
     return step
 
 
+def make_staged_train_loop(
+    model: YoloV11,
+    tx: optax.GradientTransformation,
+    steps_per_dispatch: int = 100,
+    flip: bool = True,
+):
+    """Scan-on-device training: the staged dataset lives in HBM as uint8
+    batches ``[N, B, H, W, 3]`` and each dispatch runs ``steps_per_dispatch``
+    optimizer steps inside one ``lax.fori_loop`` — normalisation, per-sample
+    horizontal-flip augmentation, grad, and update all on device.
+
+    Over a remote/tunneled accelerator this removes the per-step host round
+    trip and image upload entirely (measured 1.2 s/step host-driven vs
+    device-bound once staged); on local chips it still kills dispatch
+    overhead. The returned ``run(params, batch_stats, opt_state, images_u8,
+    gt_boxes, gt_mask, gt_kpts, start, key)`` consumes batches round-robin
+    from ``start`` and returns updated state + mean loss of the dispatch.
+    With ``flip=False`` the result is step-for-step identical to calling
+    ``make_train_step``'s step on the same batch sequence (tested)."""
+
+    def loss_fn(params, batch_stats, images, gt_boxes, gt_mask, gt_kpts):
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        total, parts = yolo_loss(outs, gt_boxes, gt_mask, gt_kpts)
+        return total, (parts, mutated["batch_stats"])
+
+    @jax.jit
+    def run(params, batch_stats, opt_state, images_u8, gt_boxes, gt_mask,
+            gt_kpts, start, key):
+        n_staged = images_u8.shape[0]
+        width = images_u8.shape[3]
+
+        def body(i, carry):
+            params, bstats, opt_state, loss_sum = carry
+            idx = (start + i) % n_staged
+            img = jnp.take(images_u8, idx, axis=0).astype(jnp.float32) / 255.0
+            bx = jnp.take(gt_boxes, idx, axis=0)
+            mk = jnp.take(gt_mask, idx, axis=0)
+            kp = jnp.take(gt_kpts, idx, axis=0)
+            if flip:
+                flips = jax.random.bernoulli(
+                    jax.random.fold_in(key, i), shape=(img.shape[0],)
+                )
+                img = jnp.where(flips[:, None, None, None], img[:, :, ::-1, :], img)
+                fb = jnp.stack(
+                    [width - bx[..., 2], bx[..., 1], width - bx[..., 0], bx[..., 3]],
+                    -1,
+                )
+                bx = jnp.where(flips[:, None, None], fb, bx)
+                kpx = kp.at[..., 0].set(width - kp[..., 0])
+                kp = jnp.where(flips[:, None, None, None], kpx, kp)
+            # dead padded rows would flip to x1=x2=width garbage; re-zero them
+            bx = bx * mk[..., None]
+            kp = kp * mk[..., None, None]
+            (loss, (_parts, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, bstats, img, bx, mk, kp)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_bs, opt_state, loss_sum + loss)
+
+        params, batch_stats, opt_state, loss_sum = jax.lax.fori_loop(
+            0, steps_per_dispatch, body,
+            (params, batch_stats, opt_state, jnp.float32(0.0)),
+        )
+        return params, batch_stats, opt_state, loss_sum / steps_per_dispatch
+
+    return run
+
+
 def make_sharded_train_step(
     model: YoloV11, tx: optax.GradientTransformation, mesh, fsdp_axis: str = "tile"
 ):

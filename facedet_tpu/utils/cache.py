@@ -17,6 +17,16 @@ DEFAULT_CACHE_ROOT = os.path.join(
 )
 
 
+#: Known-benign cpu_aot_loader mismatch: LARGE XLA:CPU compiles are offloaded
+#: to the axon remote compile helper, whose host (sapphirerapids as of this
+#: round) bakes its own LLVM tuning flags (+prefer-no-gather/-scatter) into
+#: the AOT result. Those are scheduling PREFERENCES, not instructions — every
+#: +ISA feature in the helper's list is present on this host, so the loader's
+#: "could lead to SIGILL" warning is noise for those entries. The fingerprint
+#: below still matters for entries compiled LOCALLY (small jits), which do
+#: bake real ISA features and must not survive a host migration.
+
+
 def _native_march() -> str:
     """The microarchitecture the compiler detects from live CPUID. Virtualised
     hosts can expose byte-identical /proc/cpuinfo (generic 'Intel Xeon @

@@ -110,3 +110,102 @@ def test_tal_loss_trains(setup):
         losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0], losses
+
+
+def _staged_data(n=3, b=2, m=3, size=64, seed=5):
+    """uint8 staged batches with zero-padded dead GT rows (the staged loop's
+    canonical layout)."""
+    rng = np.random.default_rng(seed)
+    images = rng.integers(0, 255, (n, b, size, size, 3), dtype=np.uint8)
+    xy = rng.uniform(4, size - 24, (n, b, m, 2))
+    wh = rng.uniform(8, 20, (n, b, m, 2))
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    mask = np.ones((n, b, m), bool)
+    mask[:, :, -1] = False
+    boxes[~mask] = 0.0
+    kpts = np.zeros((n, b, m, 5, 3), np.float32)
+    return (jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(mask),
+            jnp.asarray(kpts))
+
+
+def test_staged_loop_matches_stepwise(setup):
+    """flip=False staged dispatch == the same batches through make_train_step.
+
+    Tolerances: a single step agrees to float-fusion noise (~1e-5). Across
+    k steps the two jit programs compile differently, so per-step 1e-5
+    gradient noise compounds through the nonlinear loss — identical LOGIC,
+    chaotically diverging float trajectories (measured ~3e-4 after 4 SGD
+    steps). The k-step check therefore uses a loose bound that still catches
+    real defects (wrong batch order / a dropped flip-gate / double update all
+    shift params by ~lr = 1e-3 or more per step). SGD, not Adam: adam's
+    first-step update is ~lr*sign(grad), which amplifies sign flips of
+    near-zero grads to 2*lr regardless of tolerance."""
+    from facedet_tpu.train.yolo_train import make_staged_train_loop
+
+    import optax
+
+    model, variables = setup
+    images, boxes, mask, kpts = _staged_data()
+    tx = optax.sgd(1e-3)
+    p0, bs0 = variables["params"], variables["batch_stats"]
+    opt0 = tx.init(p0)
+
+    def stepwise(k):
+        step = make_train_step(model, tx)
+        p_b, bs_b, opt_b = p0, bs0, opt0
+        losses = []
+        for i in range(k):
+            j = i % images.shape[0]
+            p_b, bs_b, opt_b, loss, _ = step(
+                p_b, bs_b, opt_b,
+                images[j].astype(jnp.float32) / 255.0, boxes[j], mask[j], kpts[j],
+            )
+            losses.append(float(loss))
+        return p_b, bs_b, losses
+
+    # single step: tight
+    run1 = make_staged_train_loop(model, tx, steps_per_dispatch=1, flip=False)
+    p_a, bs_a, _, loss_a = run1(
+        p0, bs0, opt0, images, boxes, mask, kpts, 0, jax.random.PRNGKey(0)
+    )
+    p_b, bs_b, losses = stepwise(1)
+    assert abs(float(loss_a) - losses[0]) < 1e-3
+    for a, b in zip(jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(bs_a), jax.tree_util.tree_leaves(bs_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+    # k steps with round-robin wrap past n_staged=3: functional check only
+    k = 4
+    runk = make_staged_train_loop(model, tx, steps_per_dispatch=k, flip=False)
+    p_a, bs_a, _, mean_loss = runk(
+        p0, bs0, opt0, images, boxes, mask, kpts, 0, jax.random.PRNGKey(0)
+    )
+    p_b, bs_b, losses = stepwise(k)
+    # per-batch losses span 34-41 here, so a batch-order/indexing bug moves
+    # the mean by several units; chaotic float divergence moves it ~0.3.
+    # No multi-step param comparison: per-element divergence is chaotic and
+    # unbounded for the hottest BN params (measured 2e-3..7e-3 run to run),
+    # so only the functional (loss) agreement is asserted beyond one step.
+    assert abs(float(mean_loss) - np.mean(losses)) < 1.0
+
+
+def test_staged_loop_flip_trains(setup):
+    """With augmentation on, the dispatch still makes finite progress and
+    changes parameters."""
+    from facedet_tpu.train.yolo_train import make_staged_train_loop
+
+    model, variables = setup
+    images, boxes, mask, kpts = _staged_data(seed=7)
+    tx = make_optimizer(lr=1e-3, warmup_steps=0)
+    p0, bs0 = variables["params"], variables["batch_stats"]
+    run = make_staged_train_loop(model, tx, steps_per_dispatch=3, flip=True)
+    p1, bs1, opt1, mean_loss = run(
+        p0, bs0, tx.init(p0), images, boxes, mask, kpts, 0, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(mean_loss))
+    deltas = [
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1))
+    ]
+    assert max(deltas) > 0
