@@ -47,6 +47,17 @@ class RtDetrConfig:
 
 RTDETR_VARIANTS = {
     "rtdetr-l": RtDetrConfig(),
+    # mid-capacity preset: enough backbone width to resolve small faces in
+    # 480-640px crops while staying cheap enough for from-scratch demos
+    "rtdetr-m": RtDetrConfig(
+        hidden_dim=128,
+        num_queries=120,
+        num_heads=8,
+        num_decoder_layers=3,
+        ffn_dim=512,
+        backbone_widths=(16, 32, 64, 128),
+        backbone_depths=(1, 2, 2, 1),
+    ),
     "rtdetr-tiny": RtDetrConfig(
         hidden_dim=64,
         num_queries=60,

@@ -157,7 +157,15 @@ def main(argv=None):
                     "scan-on-device loop (no per-step host round trip); 0 = "
                     "host-driven per-step feeding")
     ap.add_argument("--steps-per-dispatch", type=int, default=100)
+    ap.add_argument("--model", choices=("yolo", "rtdetr"), default="yolo",
+                    help="rtdetr = pipeline-v3 analog: CDN-trained RT-DETR "
+                    "on the golden images (staged loop only)")
+    ap.add_argument("--variant", default="rtdetr-m",
+                    help="RTDETR_VARIANTS key for --model rtdetr")
+    ap.add_argument("--dn-groups", type=int, default=3)
     args = ap.parse_args(argv)
+    if args.model == "rtdetr":
+        return main_rtdetr(args)
 
     import jax
     import jax.numpy as jnp
@@ -273,6 +281,127 @@ def main(argv=None):
         r = report[split]
         print(f"{split}: recall {r['recall']:.3f} precision {r['precision']:.3f}"
               f" (conf>={args.conf}, IoU>={args.iou})")
+    out = os.path.join(args.out_dir, "parity_report.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {out}")
+    return report
+
+
+def main_rtdetr(args):
+    """RT-DETR on the golden WIDERFACE images — the real-data analog of the
+    reference's pipeline v3 fine-tune (pipeline_v3_RTDETR/train_rtdetr.py:162:
+    it trains RT-DETR on WIDERFACE); from scratch with contrastive denoising
+    since pretrained checkpoints are unreachable here. Staged scan-on-device
+    loop only."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from facedet_tpu.engine.detector import save_params_npz
+    from facedet_tpu.engine.rtdetr_wrapper import RtDetrDetectionModel
+    from facedet_tpu.models.rtdetr import RTDETR_VARIANTS, RtDetr
+    from facedet_tpu.train.rtdetr_train import make_staged_rtdetr_loop
+    from facedet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    records = load_golden_dataset(args.goldens, args.ref_dir)
+    if not records:
+        raise SystemExit(f"no golden source images under {args.ref_dir}")
+    train_recs, held_recs = split_records(records)
+    print(f"{len(records)} golden images ({len(train_recs)} train, "
+          f"{len(held_recs)} held out)")
+
+    variant = args.variant
+    cfg = RTDETR_VARIANTS[variant]
+    # keep GT capacity under the tiny variant's 60 queries
+    max_boxes = min(48, cfg.num_queries)
+    model = RtDetr(cfg)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, args.size, args.size, 3)),
+            train=False,
+        )
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    lr = args.lr if args.lr != 2e-3 else 4e-4  # DETR-appropriate default
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, min(100, args.steps // 10), args.steps, lr * 0.05
+    )
+    tx = optax.chain(optax.clip_by_global_norm(0.1),
+                     optax.adamw(sched, weight_decay=1e-4))
+    opt_state = tx.init(params)
+
+    rng = np.random.default_rng(0)
+    n_staged = args.staged or 64
+    t0 = time.perf_counter()
+    batches = [
+        sample_batch(train_recs, rng, args.batch, args.size, max_boxes)
+        for _ in range(n_staged)
+    ]
+    s = float(args.size)
+    xyxy = np.stack([b[1] for b in batches])  # [N,B,M,4] pixel xyxy
+    cxcywh = np.stack(
+        [
+            (xyxy[..., 0] + xyxy[..., 2]) / 2 / s,
+            (xyxy[..., 1] + xyxy[..., 3]) / 2 / s,
+            (xyxy[..., 2] - xyxy[..., 0]) / s,
+            (xyxy[..., 3] - xyxy[..., 1]) / s,
+        ],
+        -1,
+    ).astype(np.float32)
+    s_ims = jnp.asarray(np.stack([b[0] for b in batches]))
+    s_bxs = jnp.asarray(cxcywh)
+    s_mks = jnp.asarray(np.stack([b[2] for b in batches]))
+    jax.block_until_ready((s_ims, s_bxs, s_mks))
+    print(f"staged {n_staged} batches ({s_ims.nbytes / 1e6:.0f} MB uint8) "
+          f"in {time.perf_counter() - t0:.1f}s")
+
+    spd = min(args.steps_per_dispatch, args.steps)
+    run = make_staged_rtdetr_loop(model, tx, steps_per_dispatch=spd,
+                                  dn_groups=args.dn_groups)
+    key = jax.random.PRNGKey(3)
+    done = 0
+    while done < args.steps:
+        key, sub = jax.random.split(key)
+        params, batch_stats, opt_state, mean_loss = run(
+            params, batch_stats, opt_state, s_ims, s_bxs, s_mks, done, sub,
+        )
+        done += spd
+        print(f"step {done}: mean loss {float(mean_loss):.4f}")
+    train_s = time.perf_counter() - t0
+    print(f"trained {args.steps} steps in {train_s:.1f}s")
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    ckpt = os.path.join(args.out_dir, f"{variant}_golden.npz")
+    save_params_npz(ckpt, {"params": params, "batch_stats": batch_stats})
+    print(f"saved {ckpt}")
+
+    # DETR focal-loss confidences run low (reference validates at 0.001 via
+    # model.val); score the parity gate at an inclusive operating threshold
+    det = RtDetrDetectionModel(
+        variant=variant, dtype="float32", confidence_threshold=0.05,
+        image_size=args.size, load_at_init=False,
+    )
+    det.cfg = cfg
+    det.model = model
+    det.variables = {"params": params, "batch_stats": batch_stats}
+
+    with open(args.goldens) as f:
+        goldens = json.load(f)
+    cap = args.max_parity_images or None
+    conf = min(args.conf, 0.2)
+    report = {
+        "model": variant, "steps": args.steps,
+        "train_seconds": round(train_s, 1), "checkpoint": ckpt,
+        "train_split": parity_on_split(
+            det, goldens, train_recs[:cap], args.ref_dir, conf, args.iou),
+        "held_out_split": parity_on_split(
+            det, goldens, held_recs[:cap], args.ref_dir, conf, args.iou),
+    }
+    for split in ("train_split", "held_out_split"):
+        r = report[split]
+        print(f"{split}: recall {r['recall']:.3f} precision {r['precision']:.3f}"
+              f" (conf>={conf}, IoU>={args.iou})")
     out = os.path.join(args.out_dir, "parity_report.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)

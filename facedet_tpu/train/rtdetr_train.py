@@ -331,6 +331,75 @@ def make_rtdetr_train_step(
     return step
 
 
+def make_staged_rtdetr_loop(
+    model: RtDetr,
+    tx: optax.GradientTransformation,
+    steps_per_dispatch: int = 50,
+    dn_groups: int = 5,
+    box_noise_scale: float = 1.0,
+    flip: bool = True,
+):
+    """Scan-on-device RT-DETR training (the DETR twin of
+    ``yolo_train.make_staged_train_loop``): uint8 batches ``[N, B, H, W, 3]``
+    and normalised-cxcywh GT live in HBM; each dispatch runs
+    ``steps_per_dispatch`` CDN train steps inside one ``lax.fori_loop`` with
+    on-device normalisation and per-sample horizontal flip (cx -> 1 - cx).
+    Removes the per-step host round trip over remote links. ``run(params,
+    batch_stats, opt_state, images_u8, gt_boxes, gt_mask, start, key)``."""
+
+    def loss_fn(params, batch_stats, images, gt_boxes, gt_mask, key):
+        kwargs = {}
+        if dn_groups:
+            dn_labels, dn_ref, _ = build_cdn(
+                key, gt_boxes, gt_mask, dn_groups, box_noise_scale,
+                model.cfg.num_classes,
+            )
+            kwargs = dict(dn_labels=dn_labels, dn_ref=dn_ref, dn_groups=dn_groups)
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+            **kwargs,
+        )
+        total, parts = rtdetr_loss(outs, gt_boxes, gt_mask, dn_groups=dn_groups)
+        return total, (parts, mutated["batch_stats"])
+
+    @jax.jit
+    def run(params, batch_stats, opt_state, images_u8, gt_boxes, gt_mask,
+            start, key):
+        n_staged = images_u8.shape[0]
+
+        def body(i, carry):
+            params, bstats, opt_state, loss_sum = carry
+            idx = (start + i) % n_staged
+            img = jnp.take(images_u8, idx, axis=0).astype(jnp.float32) / 255.0
+            bx = jnp.take(gt_boxes, idx, axis=0)
+            mk = jnp.take(gt_mask, idx, axis=0)
+            k = jax.random.fold_in(key, i)
+            if flip:
+                kf, k = jax.random.split(k)
+                flips = jax.random.bernoulli(kf, shape=(img.shape[0],))
+                img = jnp.where(flips[:, None, None, None], img[:, :, ::-1, :], img)
+                fb = bx.at[..., 0].set(1.0 - bx[..., 0])
+                bx = jnp.where(flips[:, None, None], fb, bx)
+            bx = bx * mk[..., None]  # dead rows: flip would leave cx=1 garbage
+            (loss, (_parts, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, bstats, img, bx, mk, k)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_bs, opt_state, loss_sum + loss)
+
+        params, batch_stats, opt_state, loss_sum = jax.lax.fori_loop(
+            0, steps_per_dispatch, body,
+            (params, batch_stats, opt_state, jnp.float32(0.0)),
+        )
+        return params, batch_stats, opt_state, loss_sum / steps_per_dispatch
+
+    return run
+
+
 class RtDetrTrainer:
     """Training driver with the reference's checkpoint policy:
     best.pt/last.pt-style saves, save_period, patience early stop

@@ -185,3 +185,68 @@ def test_forward_with_dn_queries(tiny):
     assert outs["dn_logits"][0].shape[1] == labels.shape[1]
     # matching outputs keep their usual query count
     assert outs["logits"][0].shape[1] == model.cfg.num_queries
+
+
+def test_staged_rtdetr_loop_matches_stepwise(tiny):
+    """dn_groups=0, flip=False staged dispatch == stepwise make_rtdetr_train_step
+    (single step, tight; multi-step trajectories diverge chaotically — see
+    test_train.test_staged_loop_matches_stepwise for the rationale)."""
+    import optax
+
+    from facedet_tpu.train.rtdetr_train import (
+        make_rtdetr_train_step,
+        make_staged_rtdetr_loop,
+    )
+
+    model, variables = tiny
+    rng = np.random.default_rng(3)
+    images_u8 = jnp.asarray(rng.integers(0, 255, (2, 2, 64, 64, 3), dtype=np.uint8))
+    gt = np.tile(np.array([[[0.5, 0.5, 0.2, 0.3], [0.3, 0.3, 0.1, 0.1]]]), (2, 2, 1, 1))
+    gt_boxes = jnp.asarray(np.stack([gt[0], gt[1]])).astype(jnp.float32)
+    gt_mask = jnp.asarray(np.ones((2, 2, 2), bool))
+    tx = optax.sgd(1e-4)
+    p0, bs0 = variables["params"], variables["batch_stats"]
+    opt0 = tx.init(p0)
+
+    run = make_staged_rtdetr_loop(
+        model, tx, steps_per_dispatch=1, dn_groups=0, flip=False
+    )
+    p_a, bs_a, _, loss_a = run(
+        p0, bs0, opt0, images_u8, gt_boxes, gt_mask, 0, jax.random.PRNGKey(0)
+    )
+
+    step = make_rtdetr_train_step(model, tx, dn_groups=0)
+    p_b, bs_b, _, loss_b, _ = step(
+        p0, bs0, opt0,
+        images_u8[0].astype(jnp.float32) / 255.0, gt_boxes[0], gt_mask[0],
+        jax.random.PRNGKey(0),
+    )
+    assert abs(float(loss_a) - float(loss_b)) < 1e-3
+    for a, b in zip(jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_staged_rtdetr_loop_cdn_flip_trains(tiny):
+    """CDN + flip staged dispatch: finite loss, parameters move."""
+    import optax
+
+    from facedet_tpu.train.rtdetr_train import make_staged_rtdetr_loop
+
+    model, variables = tiny
+    rng = np.random.default_rng(4)
+    images_u8 = jnp.asarray(rng.integers(0, 255, (2, 2, 64, 64, 3), dtype=np.uint8))
+    gt_boxes = jnp.asarray(
+        np.tile(np.array([[[0.4, 0.5, 0.2, 0.3]]], np.float32), (2, 2, 2, 1))
+    )
+    gt_mask = jnp.asarray(np.ones((2, 2, 2), bool))
+    tx = optax.adamw(1e-3)
+    p0, bs0 = variables["params"], variables["batch_stats"]
+    run = make_staged_rtdetr_loop(model, tx, steps_per_dispatch=3, dn_groups=2)
+    p1, _, _, mean_loss = run(
+        p0, bs0, tx.init(p0), images_u8, gt_boxes, gt_mask, 0, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(mean_loss))
+    assert max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1))
+    ) > 0
