@@ -164,3 +164,29 @@ def test_load_golden_dataset_real():
         live = r["boxes"]
         assert (live[:, 0] < live[:, 2]).all() and (live[:, 1] < live[:, 3]).all()
         assert (live[:, 2] <= w + 1).all() and (live[:, 3] <= h + 1).all()
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference artifacts not present")
+def test_official_eval_layout(tmp_path):
+    """WIDERFACE-layout builder: 16 unique stems (the 3 cross-dir duplicate
+    sources must not collide), 201 faces, txt round-trips through the
+    official parser."""
+    import json
+
+    from facedet_tpu.data.widerface import parse_wider_gt_txt
+    from facedet_tpu.tools.golden_official_eval import build_widerface_layout
+
+    with open(GOLDENS_PATH) as f:
+        goldens = json.load(f)
+    images_path, gt_txt = build_widerface_layout(
+        goldens, REF_DIR, str(tmp_path)
+    )
+    parsed = parse_wider_gt_txt(gt_txt)
+    assert len(parsed) == 16
+    assert sum(len(v) for v in parsed.values()) == 201
+    jpgs = os.listdir(os.path.join(images_path, "golden"))
+    assert len(jpgs) == 16
+    for key in parsed:
+        event, stem = key.split("/", 1)
+        assert event == "golden"
+        assert stem in jpgs
