@@ -163,6 +163,9 @@ def main(argv=None):
     ap.add_argument("--variant", default="rtdetr-m",
                     help="RTDETR_VARIANTS key for --model rtdetr")
     ap.add_argument("--dn-groups", type=int, default=3)
+    ap.add_argument("--pretrain-steps", type=int, default=0,
+                    help="rtdetr: synthetic dense-blob pretrain steps before "
+                    "the golden fine-tune (pretrained-init stand-in)")
     args = ap.parse_args(argv)
     if args.model == "rtdetr":
         return main_rtdetr(args)
@@ -288,12 +291,43 @@ def main(argv=None):
     return report
 
 
+def make_dense_blob_batches(
+    n_batches: int, batch: int, size: int, max_boxes: int,
+    rng: np.random.Generator,
+):
+    """Synthetic dense-crowd pretraining batches shaped like the golden crop
+    batches: uint8 images with 8-64px bright ellipse 'faces' on textured
+    background, up to ``max_boxes`` per image, plus pixel-xyxy GT."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    ims = np.zeros((n_batches, batch, size, size, 3), np.uint8)
+    bxs = np.zeros((n_batches, batch, max_boxes, 4), np.float32)
+    mks = np.zeros((n_batches, batch, max_boxes), bool)
+    for n in range(n_batches):
+        for b in range(batch):
+            img = rng.uniform(0, 64, (size, size, 3)).astype(np.float32)
+            k = int(rng.integers(4, max_boxes))
+            for j in range(k):
+                rx = int(rng.integers(4, 32))
+                ry = int(rx * rng.uniform(1.1, 1.5))
+                cx = int(rng.integers(rx + 1, size - rx - 1))
+                cy = int(rng.integers(ry + 1, size - ry - 1))
+                m = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+                img[m] = rng.uniform(120, 255, 3)
+                bxs[n, b, j] = [cx - rx, cy - ry, cx + rx, cy + ry]
+                mks[n, b, j] = True
+            ims[n, b] = img.astype(np.uint8)
+    return ims, bxs, mks
+
+
 def main_rtdetr(args):
     """RT-DETR on the golden WIDERFACE images — the real-data analog of the
     reference's pipeline v3 fine-tune (pipeline_v3_RTDETR/train_rtdetr.py:162:
     it trains RT-DETR on WIDERFACE); from scratch with contrastive denoising
     since pretrained checkpoints are unreachable here. Staged scan-on-device
-    loop only."""
+    loop only. ``--pretrain-steps`` prepends a synthetic dense-blob
+    localisation pretrain — the zero-egress stand-in for the reference's
+    COCO-pretrained initialisation (DETRs are known not to converge from
+    scratch on small dense data in small step budgets)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -324,8 +358,9 @@ def main_rtdetr(args):
         )
     params, batch_stats = variables["params"], variables["batch_stats"]
     lr = args.lr if args.lr != 2e-3 else 4e-4  # DETR-appropriate default
+    total_steps = args.steps + args.pretrain_steps
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, lr, min(100, args.steps // 10), args.steps, lr * 0.05
+        0.0, lr, min(100, total_steps // 10), total_steps, lr * 0.05
     )
     tx = optax.chain(optax.clip_by_global_norm(0.1),
                      optax.adamw(sched, weight_decay=1e-4))
@@ -360,6 +395,33 @@ def main_rtdetr(args):
     run = make_staged_rtdetr_loop(model, tx, steps_per_dispatch=spd,
                                   dn_groups=args.dn_groups)
     key = jax.random.PRNGKey(3)
+    if args.pretrain_steps:
+        # identical staged shapes -> the jitted loop is compiled once and
+        # shared between the pretrain and fine-tune phases
+        pt_ims, pt_xyxy, pt_mks = make_dense_blob_batches(
+            n_staged, args.batch, args.size, max_boxes,
+            np.random.default_rng(11),
+        )
+        pt_cxcywh = np.stack(
+            [
+                (pt_xyxy[..., 0] + pt_xyxy[..., 2]) / 2 / s,
+                (pt_xyxy[..., 1] + pt_xyxy[..., 3]) / 2 / s,
+                (pt_xyxy[..., 2] - pt_xyxy[..., 0]) / s,
+                (pt_xyxy[..., 3] - pt_xyxy[..., 1]) / s,
+            ],
+            -1,
+        ).astype(np.float32)
+        p_ims = jnp.asarray(pt_ims)
+        p_bxs = jnp.asarray(pt_cxcywh)
+        p_mks = jnp.asarray(pt_mks)
+        done = 0
+        while done < args.pretrain_steps:
+            key, sub = jax.random.split(key)
+            params, batch_stats, opt_state, mean_loss = run(
+                params, batch_stats, opt_state, p_ims, p_bxs, p_mks, done, sub,
+            )
+            done += spd
+            print(f"pretrain step {done}: mean loss {float(mean_loss):.4f}")
     done = 0
     while done < args.steps:
         key, sub = jax.random.split(key)

@@ -51,6 +51,8 @@ def main(argv=None):
     ap.add_argument("--model", choices=("yolo", "rtdetr"), default="yolo")
     ap.add_argument("--dn-groups", type=int, default=5,
                     help="rtdetr contrastive-denoising groups (0 = off)")
+    ap.add_argument("--variant", default="rtdetr-tiny",
+                    help="RTDETR_VARIANTS key for --model rtdetr")
     args = ap.parse_args(argv)
     if args.model == "rtdetr":
         return main_rtdetr(args)
@@ -162,7 +164,7 @@ def main_rtdetr(args):
         -1,
     )
 
-    cfg = RTDETR_VARIANTS["rtdetr-tiny"]
+    cfg = RTDETR_VARIANTS[args.variant]
     model = RtDetr(cfg)
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         variables = model.init(
@@ -182,7 +184,7 @@ def main_rtdetr(args):
         # inclusive threshold (the reference validates the same way via
         # model.val, which scores at conf 0.001)
         det = RtDetrDetectionModel(
-            variant="rtdetr-tiny", dtype="float32", confidence_threshold=0.05,
+            variant=args.variant, dtype="float32", confidence_threshold=0.05,
             image_size=args.size, load_at_init=False,
         )
         det.cfg = cfg
