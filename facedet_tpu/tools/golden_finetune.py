@@ -143,7 +143,8 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=800)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=640)
-    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="default: 2e-3 for yolo, 4e-4 for rtdetr")
     ap.add_argument("--scale", default="n")
     ap.add_argument("--conf", type=float, default=0.35)
     ap.add_argument("--iou", type=float, default=0.5)
@@ -169,6 +170,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.model == "rtdetr":
         return main_rtdetr(args)
+    if args.lr is None:
+        args.lr = 2e-3
 
     import jax
     import jax.numpy as jnp
@@ -282,13 +285,28 @@ def main(argv=None):
     }
     for split in ("train_split", "held_out_split"):
         r = report[split]
-        print(f"{split}: recall {r['recall']:.3f} precision {r['precision']:.3f}"
+        rec = "n/a" if r["recall"] is None else f"{r['recall']:.3f}"
+        prec = "n/a" if r["precision"] is None else f"{r['precision']:.3f}"
+        print(f"{split}: recall {rec} precision {prec}"
               f" (conf>={args.conf}, IoU>={args.iou})")
     out = os.path.join(args.out_dir, "parity_report.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {out}")
     return report
+
+
+def _xyxy_to_norm_cxcywh(xyxy: np.ndarray, size: float) -> np.ndarray:
+    """Pixel xyxy [..., 4] -> normalized cxcywh for the DETR losses."""
+    return np.stack(
+        [
+            (xyxy[..., 0] + xyxy[..., 2]) / 2 / size,
+            (xyxy[..., 1] + xyxy[..., 3]) / 2 / size,
+            (xyxy[..., 2] - xyxy[..., 0]) / size,
+            (xyxy[..., 3] - xyxy[..., 1]) / size,
+        ],
+        -1,
+    ).astype(np.float32)
 
 
 def make_dense_blob_batches(
@@ -357,7 +375,7 @@ def main_rtdetr(args):
             train=False,
         )
     params, batch_stats = variables["params"], variables["batch_stats"]
-    lr = args.lr if args.lr != 2e-3 else 4e-4  # DETR-appropriate default
+    lr = 4e-4 if args.lr is None else args.lr  # DETR-appropriate default
     total_steps = args.steps + args.pretrain_steps
     sched = optax.warmup_cosine_decay_schedule(
         0.0, lr, min(100, total_steps // 10), total_steps, lr * 0.05
@@ -375,15 +393,7 @@ def main_rtdetr(args):
     ]
     s = float(args.size)
     xyxy = np.stack([b[1] for b in batches])  # [N,B,M,4] pixel xyxy
-    cxcywh = np.stack(
-        [
-            (xyxy[..., 0] + xyxy[..., 2]) / 2 / s,
-            (xyxy[..., 1] + xyxy[..., 3]) / 2 / s,
-            (xyxy[..., 2] - xyxy[..., 0]) / s,
-            (xyxy[..., 3] - xyxy[..., 1]) / s,
-        ],
-        -1,
-    ).astype(np.float32)
+    cxcywh = _xyxy_to_norm_cxcywh(xyxy, s)
     s_ims = jnp.asarray(np.stack([b[0] for b in batches]))
     s_bxs = jnp.asarray(cxcywh)
     s_mks = jnp.asarray(np.stack([b[2] for b in batches]))
@@ -402,15 +412,7 @@ def main_rtdetr(args):
             n_staged, args.batch, args.size, max_boxes,
             np.random.default_rng(11),
         )
-        pt_cxcywh = np.stack(
-            [
-                (pt_xyxy[..., 0] + pt_xyxy[..., 2]) / 2 / s,
-                (pt_xyxy[..., 1] + pt_xyxy[..., 3]) / 2 / s,
-                (pt_xyxy[..., 2] - pt_xyxy[..., 0]) / s,
-                (pt_xyxy[..., 3] - pt_xyxy[..., 1]) / s,
-            ],
-            -1,
-        ).astype(np.float32)
+        pt_cxcywh = _xyxy_to_norm_cxcywh(pt_xyxy, s)
         p_ims = jnp.asarray(pt_ims)
         p_bxs = jnp.asarray(pt_cxcywh)
         p_mks = jnp.asarray(pt_mks)
@@ -462,7 +464,9 @@ def main_rtdetr(args):
     }
     for split in ("train_split", "held_out_split"):
         r = report[split]
-        print(f"{split}: recall {r['recall']:.3f} precision {r['precision']:.3f}"
+        rec = "n/a" if r["recall"] is None else f"{r['recall']:.3f}"
+        prec = "n/a" if r["precision"] is None else f"{r['precision']:.3f}"
+        print(f"{split}: recall {rec} precision {prec}"
               f" (conf>={conf}, IoU>={args.iou})")
     out = os.path.join(args.out_dir, "parity_report.json")
     with open(out, "w") as f:

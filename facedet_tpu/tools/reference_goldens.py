@@ -157,18 +157,48 @@ def extract_image_goldens(
     }
 
 
-def extract_goldens(
-    ref_dir: str, min_ncc: float = 0.85, max_crops: Optional[int] = 80
-) -> dict:
-    """All image_* dirs under a reference temp_streamlit folder -> goldens."""
-    images = {}
+def discover_artifact_dirs(ref_dir: str) -> list[str]:
+    """Relative paths of reference run-artifact dirs (those holding a
+    ``temp_sahi_input.jpg``), walking up to two levels. A dir can be BOTH an
+    artifacts dir and a container of them: the reference's temp_streamlit/
+    holds a stray top-level temp_sahi_input.jpg next to its per-image
+    subdirs, so a hit at level one must not short-circuit the subdir scan
+    (dirs without a crops/ folder fall out later via the empty-faces
+    filter)."""
+    candidates = []
     for name in sorted(os.listdir(ref_dir)):
         d = os.path.join(ref_dir, name)
         if not os.path.isdir(d):
             continue
-        g = extract_image_goldens(d, min_ncc=min_ncc, max_crops=max_crops)
+        if os.path.exists(os.path.join(d, "temp_sahi_input.jpg")):
+            candidates.append(name)
+        for sub in sorted(os.listdir(d)):
+            dd = os.path.join(d, sub)
+            if os.path.isdir(dd) and os.path.exists(
+                os.path.join(dd, "temp_sahi_input.jpg")
+            ):
+                candidates.append(f"{name}/{sub}")
+    return candidates
+
+
+def extract_goldens(
+    ref_dir: str, min_ncc: float = 0.85, max_crops: Optional[int] = 80
+) -> dict:
+    """All ``*/temp_sahi_input.jpg`` dirs under a reference root -> goldens.
+
+    Walks up to TWO directory levels so both a single artifacts folder
+    (``--ref-dir .../temp_streamlit`` -> bare keys) and the repo root
+    (``--ref-dir /root/reference`` -> ``temp_streamlit/<img>`` +
+    ``temp_streamlit_batch/<img>`` keys, the committed asset's layout) are
+    reproducible. Keys are always relative to ``ref_dir`` — consumers join
+    ``ref_dir/<key>/temp_sahi_input.jpg`` (eval/reference_parity.py)."""
+    images = {}
+    for rel in discover_artifact_dirs(ref_dir):
+        g = extract_image_goldens(
+            os.path.join(ref_dir, rel), min_ncc=min_ncc, max_crops=max_crops
+        )
         if g is not None and g["faces"]:
-            images[name] = g
+            images[rel] = g
     return {
         "provenance": "recovered from reference committed run artifacts "
         "(crop filename confidences + NCC-located positions)",

@@ -45,6 +45,16 @@ def _native_march() -> str:
                 return tok
     except (OSError, subprocess.SubprocessError):
         pass
+    # without the compiler probe the fingerprint degrades to cpuinfo-only —
+    # exactly the state that let byte-identical virtualized hosts share stale
+    # AOT entries. Warn so a recurrence of the SIGILL-risk loads is traceable.
+    import warnings
+
+    warnings.warn(
+        "compile-cache fingerprint: g++ -march=native probe unavailable; "
+        "falling back to /proc/cpuinfo only, which cannot distinguish some "
+        "virtualized hosts — stale XLA:CPU AOT cache entries may be loaded"
+    )
     return "unknown-march"
 
 

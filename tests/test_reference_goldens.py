@@ -161,3 +161,31 @@ def test_committed_goldens_asset_is_wellformed():
             assert face["ncc"] >= 0.85
             total += 1
     assert total >= 150
+
+
+import os as _os
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _os.path.exists("/root/reference/temp_streamlit"),
+    reason="reference artifacts not present",
+)
+def test_discovery_covers_both_artifact_dirs():
+    """extract_goldens' candidate walk must find all 16 committed artifact
+    dirs across temp_streamlit/ (which hides its subdirs behind a stray
+    top-level temp_sahi_input.jpg) AND temp_streamlit_batch/ — regression for
+    the short-circuit that dropped the 10 temp_streamlit images."""
+    import json
+
+    from facedet_tpu.tools.reference_goldens import discover_artifact_dirs
+
+    candidates = discover_artifact_dirs("/root/reference")
+    with open(
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "facedet_tpu", "eval", "assets", "reference_goldens.json",
+        )
+    ) as f:
+        committed = set(json.load(f)["images"])
+    assert committed <= set(candidates)

@@ -299,3 +299,34 @@ def test_sinkhorn_match_square_and_exact_cases():
     c[0, 1] = c[1, 2] = c[2, 0] = 0.0
     a = np.asarray(sinkhorn_match(jnp.asarray(c[None])))[0]
     assert a.tolist() == [2, 0, 1]
+
+
+def test_sinkhorn_match_with_dead_gt_sentinels():
+    """Production cost layout: _layer_loss pads dead-GT columns with 1e6.
+    Without mask-aware statistics those sentinels inflate the OT temperature
+    ~1000x and sinkhorn degrades below greedy (regression found in review);
+    with col_mask it must stay essentially Hungarian-optimal."""
+    from scipy.optimize import linear_sum_assignment
+
+    from facedet_tpu.train.rtdetr_train import sinkhorn_match
+
+    rng = np.random.default_rng(2)
+    for n_real in (10, 30):
+        q, M = 120, 48
+        gt = rng.random((n_real, 2))
+        qr = rng.random((q, 2))
+        dist = np.linalg.norm(qr[:, None] - gt[None], axis=-1).astype(np.float32)
+        real = dist - 0.3 * rng.random((q, 1)).astype(np.float32)
+        c = np.full((q, M), 1e6, np.float32)
+        c[:, :n_real] = real
+        mask = np.zeros(M, bool)
+        mask[:n_real] = True
+        rows, cols = linear_sum_assignment(real)
+        opt = real[rows, cols].sum()
+        a = np.asarray(
+            sinkhorn_match(jnp.asarray(c[None]), col_mask=jnp.asarray(mask[None]))
+        )[0]
+        tot = sum(real[a[i], i] for i in range(n_real))
+        assert (tot - opt) / abs(opt) < 0.01
+        # real columns must get distinct queries
+        assert len(set(a[:n_real].tolist())) == n_real
