@@ -18,6 +18,7 @@ __all__ = [
     "fsdp_param_shardings",
     "batch_sharding",
     "tile_sharding",
+    "staged_sharding",
     "replicated",
     "shard_tile_batch_forward",
 ]
@@ -35,6 +36,13 @@ def batch_sharding(mesh: Mesh, ndim: int, axis: str = "dp") -> NamedSharding:
 def tile_sharding(mesh: Mesh, ndim: int, axis: str = "tile") -> NamedSharding:
     """Shard dim 0 (the tile axis of a [T, S, S, 3] batch) over ``axis``."""
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def staged_sharding(mesh: Mesh, ndim: int, axis: str = "dp") -> NamedSharding:
+    """Shard dim 1 (the batch axis of HBM-staged [N, B, ...] datasets used by
+    the scan-on-device train loops) over ``axis``; the stage axis replicates
+    so every device indexes the same round-robin schedule."""
+    return NamedSharding(mesh, P(None, axis, *([None] * (ndim - 2))))
 
 
 def fsdp_param_shardings(

@@ -25,9 +25,17 @@ from facedet_tpu.parallel.sharding import (
     batch_sharding,
     fsdp_param_shardings,
     replicated,
+    staged_sharding,
 )
 
-__all__ = ["yolo_loss", "make_optimizer", "make_train_step", "make_sharded_train_step"]
+__all__ = [
+    "yolo_loss",
+    "make_optimizer",
+    "make_train_step",
+    "make_staged_train_loop",
+    "make_sharded_staged_train_loop",
+    "make_sharded_train_step",
+]
 
 
 def _flat_anchors(level_shapes: list[tuple[int, int]]):
@@ -362,6 +370,14 @@ def make_staged_train_loop(
     With ``flip=False`` the result is step-for-step identical to calling
     ``make_train_step``'s step on the same batch sequence (tested)."""
 
+    run = jax.jit(_staged_run_fn(model, tx, steps_per_dispatch, flip))
+    return run
+
+
+def _staged_run_fn(model, tx, steps_per_dispatch, flip):
+    """Un-jitted scan-on-device run body shared by the single-device and
+    mesh-sharded staged loops."""
+
     def loss_fn(params, batch_stats, images, gt_boxes, gt_mask, gt_kpts):
         outs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -372,7 +388,6 @@ def make_staged_train_loop(
         total, parts = yolo_loss(outs, gt_boxes, gt_mask, gt_kpts)
         return total, (parts, mutated["batch_stats"])
 
-    @jax.jit
     def run(params, batch_stats, opt_state, images_u8, gt_boxes, gt_mask,
             gt_kpts, start, key):
         n_staged = images_u8.shape[0]
@@ -416,6 +431,65 @@ def make_staged_train_loop(
     return run
 
 
+def make_sharded_staged_train_loop(
+    model: YoloV11,
+    tx: optax.GradientTransformation,
+    mesh,
+    steps_per_dispatch: int = 100,
+    flip: bool = True,
+    fsdp_axis: str = "tile",
+):
+    """Multi-chip scan-on-device training: the staged uint8 dataset's batch
+    axis shards over ``dp`` (stage axis replicated so every device walks the
+    same round-robin schedule), params/optimizer state FSDP-shard over
+    ``fsdp_axis``, and XLA inserts the grad reduce-scatter/all-reduce inside
+    the fori_loop — steps_per_dispatch fully-collective optimizer steps per
+    dispatch with zero host involvement.
+
+    Returns (jit_run, shard_state): ``shard_state(params, batch_stats,
+    opt_state)`` places the train state per the plan; ``jit_run(params,
+    batch_stats, opt_state)`` builds the jitted loop whose data arguments are
+    the staged arrays + (start, key), like ``make_staged_train_loop``'s."""
+    run = _staged_run_fn(model, tx, steps_per_dispatch, flip)
+
+    def shard_state(params, batch_stats, opt_state):
+        plans = _fsdp_state_plans(params, batch_stats, opt_state, mesh, fsdp_axis)
+        return tuple(jax.device_put(x, p) for x, p in
+                     zip((params, batch_stats, opt_state), plans))
+
+    def jit_run(params, batch_stats, opt_state):
+        p_plan, bs_plan, o_plan = _fsdp_state_plans(
+            params, batch_stats, opt_state, mesh, fsdp_axis
+        )
+        data = lambda ndim: staged_sharding(mesh, ndim, "dp")
+        return jax.jit(
+            run,
+            in_shardings=(
+                p_plan, bs_plan, o_plan,
+                data(5), data(4), data(3), data(5),
+                None, None,
+            ),
+            out_shardings=(p_plan, bs_plan, o_plan, replicated(mesh)),
+        )
+
+    return jit_run, shard_state
+
+
+def _fsdp_state_plans(params, batch_stats, opt_state, mesh, fsdp_axis):
+    """(params, batch_stats, opt_state) sharding plan: FSDP params/opt over
+    ``fsdp_axis``, batch stats replicated."""
+    p_plan = fsdp_param_shardings(params, mesh, axis=fsdp_axis)
+    bs_plan = jax.tree.map(lambda _: replicated(mesh), batch_stats)
+    o_plan = jax.tree.map(
+        lambda x: fsdp_param_shardings(x, mesh, axis=fsdp_axis)
+        if hasattr(x, "ndim")
+        else replicated(mesh),
+        opt_state,
+        is_leaf=lambda x: hasattr(x, "ndim"),
+    )
+    return p_plan, bs_plan, o_plan
+
+
 def make_sharded_train_step(
     model: YoloV11, tx: optax.GradientTransformation, mesh, fsdp_axis: str = "tile"
 ):
@@ -443,16 +517,7 @@ def make_sharded_train_step(
         return params, new_bs, opt_state, loss, parts
 
     def make_plans(params, batch_stats, opt_state):
-        p_plan = fsdp_param_shardings(params, mesh, axis=fsdp_axis)
-        bs_plan = jax.tree.map(lambda _: replicated(mesh), batch_stats)
-        o_plan = jax.tree.map(
-            lambda x: fsdp_param_shardings(x, mesh, axis=fsdp_axis)
-            if hasattr(x, "ndim")
-            else replicated(mesh),
-            opt_state,
-            is_leaf=lambda x: hasattr(x, "ndim"),
-        )
-        return p_plan, bs_plan, o_plan
+        return _fsdp_state_plans(params, batch_stats, opt_state, mesh, fsdp_axis)
 
     def shard_state(params, batch_stats, opt_state):
         p_plan, bs_plan, o_plan = make_plans(params, batch_stats, opt_state)
