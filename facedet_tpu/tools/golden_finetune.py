@@ -119,11 +119,51 @@ def sample_crop(
     return np.ascontiguousarray(crop), out_boxes, out_mask
 
 
-def sample_batch(records, rng, batch: int, out: int = 640, max_boxes: int = 64):
-    ims, bxs, mks = zip(
-        *(sample_crop(records[rng.integers(len(records))], rng, out=out,
-                      max_boxes=max_boxes) for _ in range(batch))
-    )
+def sample_mosaic(records, rng, out: int, max_boxes: int):
+    """4-quadrant mosaic of independent face-anchored crops (the reference
+    trains with mosaic=1.0, pipeline_v3_RTDETR/train_rtdetr.py:191-207) —
+    multiplies scene diversity on tiny datasets."""
+    half = out // 2
+    canvas = np.zeros((out, out, 3), np.uint8)
+    acc = []
+    for oy, ox in ((0, 0), (0, half), (half, 0), (half, half)):
+        rec = records[rng.integers(len(records))]
+        img, b, m = sample_crop(rec, rng, out=half, max_boxes=max_boxes)
+        canvas[oy : oy + half, ox : ox + half] = img
+        if m.any():
+            acc.append(b[m] + np.array([ox, oy, ox, oy], np.float32))
+    b = (np.concatenate(acc) if acc else np.zeros((0, 4), np.float32))[:max_boxes]
+    out_boxes = np.zeros((max_boxes, 4), np.float32)
+    out_mask = np.zeros((max_boxes,), bool)
+    out_boxes[: len(b)] = b
+    out_mask[: len(b)] = True
+    return canvas, out_boxes, out_mask
+
+
+def _photometric_jitter(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Cheap brightness/contrast/channel-gain jitter (stand-in for the
+    reference's HSV jitter) applied to a uint8 crop."""
+    gain = rng.uniform(0.75, 1.25, 3).astype(np.float32)
+    bias = rng.uniform(-20, 20)
+    return np.clip(img.astype(np.float32) * gain + bias, 0, 255).astype(np.uint8)
+
+
+def sample_batch(records, rng, batch: int, out: int = 640, max_boxes: int = 64,
+                 mosaic_prob: float = 0.0, jitter: bool = False):
+    ims, bxs, mks = [], [], []
+    for _ in range(batch):
+        if mosaic_prob and rng.random() < mosaic_prob:
+            img, b, m = sample_mosaic(records, rng, out, max_boxes)
+        else:
+            img, b, m = sample_crop(
+                records[rng.integers(len(records))], rng, out=out,
+                max_boxes=max_boxes,
+            )
+        if jitter:
+            img = _photometric_jitter(img, rng)
+        ims.append(img)
+        bxs.append(b)
+        mks.append(m)
     return np.stack(ims), np.stack(bxs), np.stack(mks)
 
 
@@ -158,6 +198,10 @@ def main(argv=None):
                     "scan-on-device loop (no per-step host round trip); 0 = "
                     "host-driven per-step feeding")
     ap.add_argument("--steps-per-dispatch", type=int, default=100)
+    ap.add_argument("--mosaic-prob", type=float, default=0.4,
+                    help="probability of a 4-quadrant mosaic sample (yolo path)")
+    ap.add_argument("--no-jitter", action="store_true",
+                    help="disable photometric jitter (yolo path)")
     ap.add_argument("--model", choices=("yolo", "rtdetr"), default="yolo",
                     help="rtdetr = pipeline-v3 analog: CDN-trained RT-DETR "
                     "on the golden images (staged loop only)")
@@ -220,7 +264,8 @@ def main(argv=None):
         from facedet_tpu.train.yolo_train import make_staged_train_loop
 
         batches = [
-            sample_batch(train_recs, rng, args.batch, args.size, max_boxes)
+            sample_batch(train_recs, rng, args.batch, args.size, max_boxes,
+                         mosaic_prob=args.mosaic_prob, jitter=not args.no_jitter)
             for _ in range(args.staged)
         ]
         s_ims = jnp.asarray(np.stack([b[0] for b in batches]))
@@ -248,7 +293,8 @@ def main(argv=None):
         to_f32 = jax.jit(lambda u: u.astype(jnp.float32) / 255.0)
         for it in range(args.steps):
             ims, bxs, mks = sample_batch(
-                train_recs, rng, args.batch, args.size, max_boxes
+                train_recs, rng, args.batch, args.size, max_boxes,
+                mosaic_prob=args.mosaic_prob, jitter=not args.no_jitter,
             )
             params, batch_stats, opt_state, loss, _ = step(
                 params, batch_stats, opt_state,

@@ -190,3 +190,29 @@ def test_official_eval_layout(tmp_path):
         event, stem = key.split("/", 1)
         assert event == "golden"
         assert stem in jpgs
+
+
+def test_sample_mosaic_and_jitter():
+    from facedet_tpu.tools.golden_finetune import (
+        _photometric_jitter,
+        sample_batch,
+        sample_mosaic,
+    )
+
+    recs = [_fake_record(seed=i) for i in range(3)]
+    rng = np.random.default_rng(2)
+    img, boxes, mask = sample_mosaic(recs, rng, out=320, max_boxes=32)
+    assert img.shape == (320, 320, 3) and img.dtype == np.uint8
+    live = boxes[mask]
+    assert mask.sum() >= 1
+    assert (live >= 0).all() and (live <= 320).all()
+    assert (live[:, 2] > live[:, 0]).all() and (live[:, 3] > live[:, 1]).all()
+    # quadrant boxes must stay inside their quadrant after the shift
+    j = _photometric_jitter(img, rng)
+    assert j.shape == img.shape and j.dtype == np.uint8
+    ims, bxs, mks = sample_batch(recs, rng, batch=4, out=256, max_boxes=8,
+                                 mosaic_prob=1.0, jitter=True)
+    assert ims.shape == (4, 256, 256, 3)
+    for b, m in zip(bxs, mks):
+        lv = b[m]
+        assert (lv >= 0).all() and (lv <= 256).all()
