@@ -80,13 +80,12 @@ def _device_accounting(model, img, cfg, bsz):
     bucket_h = P.bucket_image_dim(grid.padded_h)
     bucket_w = P.bucket_image_dim(grid.padded_w)
     input_format = opts.get("input_format", "rgb")
-    key = (
-        bucket_h, bucket_w, opts["slice_height"], opts["slice_width"],
-        bool(opts["perform_standard_pred"]), float(model.confidence_threshold),
-        opts["postprocess_type"].upper(), opts["postprocess_match_metric"].upper(),
-        float(opts["postprocess_match_threshold"]),
-        bool(opts["postprocess_class_agnostic"]), int(opts["merge_capacity"]),
-        int(model.image_size), False, str(input_format),
+    key = P.pipeline_key(
+        model, bucket_h, bucket_w, opts["slice_height"], opts["slice_width"],
+        opts["perform_standard_pred"], opts["postprocess_type"],
+        opts["postprocess_match_metric"], opts["postprocess_match_threshold"],
+        opts["postprocess_class_agnostic"], opts["merge_capacity"],
+        False, input_format,
     )
     fused = P._get_fused_pipeline(model, key)["batch"]
     if input_format == "yuv420":
@@ -242,7 +241,9 @@ def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int 
         for _batch in predict_stream_batched(
             [planes] * n, model, batch_size=bsz, window=2, raw=True, **cfg
         ):
-            done += bsz
+            # count actual images: the final batch can be partial when n is
+            # not a multiple of bsz (raw Detections lead with the batch dim)
+            done += int(_batch.scores.shape[0])
         ips = max(ips, done / (time.perf_counter() - t_start))
         _PROGRESS["ips"] = ips
     return ips, p50, _PROGRESS["extras"]

@@ -105,13 +105,21 @@ def _avi_header_info(path: str) -> dict:
 
 class MjpegAviWriter:
     """Minimal MJPEG AVI muxer: numpy RGB frames in, a standards-conforming
-    .avi out (headers patched on close, idx1 index included)."""
+    .avi out (headers written on close, idx1 index included).
+
+    Streaming memory plan: encoded frames append to a ``<path>.movi.tmp``
+    spool file as they arrive — O(1) RAM regardless of video length (an
+    hour of 1080p MJPEG is tens of GB; buffering frames in a list OOMs).
+    Only the 16-byte-per-frame index entries stay in memory; close() writes
+    header + stream-copies the spool + appends idx1."""
 
     def __init__(self, path: str, fps: float = 25.0, quality: int = 90):
         self.path = path
         self.fps = fps
         self.quality = quality
-        self._frames: list[bytes] = []
+        self._spool_path = path + ".movi.tmp"
+        self._spool = None
+        self._lengths: list[int] = []
         self._size: Optional[tuple[int, int]] = None
 
     def write(self, frame: np.ndarray) -> None:
@@ -126,13 +134,20 @@ class MjpegAviWriter:
         Image.fromarray(np.ascontiguousarray(frame.astype(np.uint8))).save(
             buf, "JPEG", quality=self.quality
         )
-        self._frames.append(buf.getvalue())
+        jpeg = buf.getvalue()
+        if self._spool is None:
+            self._spool = open(self._spool_path, "wb")
+        self._spool.write(b"00dc" + struct.pack("<I", len(jpeg)) + jpeg)
+        if len(jpeg) & 1:
+            self._spool.write(b"\x00")
+        self._lengths.append(len(jpeg))
 
     def close(self) -> None:
         if self._size is None:
             raise ValueError("no frames written")
+        self._spool.close()
         w, h = self._size
-        n = len(self._frames)
+        n = len(self._lengths)
         us_per_frame = int(round(1e6 / max(self.fps, 1e-6)))
 
         def chunk(fourcc: bytes, payload: bytes) -> bytes:
@@ -142,7 +157,10 @@ class MjpegAviWriter:
         def lst(list_type: bytes, payload: bytes) -> bytes:
             return chunk(b"LIST", list_type + payload)
 
-        max_bytes = max(len(fr) for fr in self._frames)
+        max_bytes = max(self._lengths)
+        movi_payload_size = sum(
+            8 + ln + (ln & 1) for ln in self._lengths
+        )
         avih = struct.pack(
             "<14I", us_per_frame, max_bytes * int(self.fps + 1), 0, 0x10,  # HASINDEX
             n, 0, 1, max_bytes, w, h, 0, 0, 0, 0,
@@ -159,37 +177,45 @@ class MjpegAviWriter:
             b"hdrl",
             chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
         )
-        movi_payload = b"".join(chunk(b"00dc", fr) for fr in self._frames)
-        movi = lst(b"movi", movi_payload)
         idx, offset = [], 4
-        for fr in self._frames:
-            idx.append(struct.pack("<4sIII", b"00dc", 0x10, offset, len(fr)))
-            offset += 8 + len(fr) + (len(fr) & 1)
+        for ln in self._lengths:
+            idx.append(struct.pack("<4sIII", b"00dc", 0x10, offset, ln))
+            offset += 8 + ln + (ln & 1)
         idx1 = chunk(b"idx1", b"".join(idx))
-        body = b"AVI " + hdrl + movi + idx1
+        # movi LIST header written explicitly; payload stream-copied from the
+        # spool so frame bytes never accumulate in RAM
+        movi_header = b"LIST" + struct.pack("<I", 4 + movi_payload_size) + b"movi"
+        riff_size = 4 + len(hdrl) + len(movi_header) + movi_payload_size + len(idx1)
         with open(self.path, "wb") as f:
-            f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+            f.write(b"RIFF" + struct.pack("<I", riff_size) + b"AVI ")
+            f.write(hdrl)
+            f.write(movi_header)
+            with open(self._spool_path, "rb") as spool:
+                shutil.copyfileobj(spool, f, length=4 * 1024 * 1024)
+            f.write(idx1)
+        os.remove(self._spool_path)
 
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
-        if not exc[0] and self._frames:
+        if exc[0]:
+            # error path: drop the spool, leave no partial output
+            if self._spool is not None:
+                self._spool.close()
+                if os.path.exists(self._spool_path):
+                    os.remove(self._spool_path)
+        elif self._lengths:
             self.close()
 
 
 # ---------------------------------------------------------------------- Y4M -
 
 def _yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    u = u.repeat(2, 0).repeat(2, 1)[: y.shape[0], : y.shape[1]]
-    v = v.repeat(2, 0).repeat(2, 1)[: y.shape[0], : y.shape[1]]
-    yf = y.astype(np.float32)
-    uf = u.astype(np.float32) - 128.0
-    vf = v.astype(np.float32) - 128.0
-    r = yf + 1.402 * vf
-    g = yf - 0.344136 * uf - 0.714136 * vf
-    b = yf + 1.772 * uf
-    return np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+    # one BT.601 implementation in the codebase: ops/color.py owns the matrix
+    from facedet_tpu.ops.color import yuv420_to_rgb_np
+
+    return yuv420_to_rgb_np(y, np.stack([u, v], -1))
 
 
 def _read_y4m_frames(path: str) -> Iterator[np.ndarray]:
@@ -290,7 +316,21 @@ def read_video_frames(path: str) -> Iterator[np.ndarray]:
         raise FileNotFoundError(path)
     ext = os.path.splitext(path)[1].lower()
     if ext == ".avi":
-        yield from _read_avi_frames(path)
+        # MJPEG decodes natively; other AVI codecs (H.264 etc.) fall back to
+        # ffmpeg when available instead of dead-ending with advice to
+        # "install ffmpeg" on a host that already has it. Only fall back
+        # before the first yielded frame (the codec check fires on frame 0;
+        # restarting mid-stream would duplicate frames).
+        produced = False
+        try:
+            for frame in _read_avi_frames(path):
+                produced = True
+                yield frame
+            return
+        except ValueError:
+            if produced or not ffmpeg_available():
+                raise
+        yield from _read_ffmpeg_frames(path)
     elif ext == ".y4m":
         yield from _read_y4m_frames(path)
     elif ext in _FFMPEG_EXTS or ffmpeg_available():

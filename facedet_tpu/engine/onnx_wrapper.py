@@ -103,8 +103,14 @@ class OnnxDetectionModel(DetectionModel):
                 class_agnostic=True,
             )
 
-        # rtdetr: normalized cxcywh, set predictions -> top-k, no NMS
-        boxes = _cxcywh_to_xyxy(out[..., :4]) * size
+        # rtdetr: normalized cxcywh, set predictions -> top-k, no NMS.
+        # Denormalize per axis — tiles can be non-square (slice_height !=
+        # slice_width), and height-for-both silently shrinks x-extents
+        wh = jnp.array(
+            [tiles.shape[2], tiles.shape[1], tiles.shape[2], tiles.shape[1]],
+            out.dtype,
+        )
+        boxes = _cxcywh_to_xyxy(out[..., :4]) * wh
         scores = out[..., 4:]
         return decode_to_detections(
             {"boxes": boxes, "scores": scores},

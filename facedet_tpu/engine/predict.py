@@ -92,6 +92,44 @@ def _clip_detections(det: Detections, h: jax.Array, w: jax.Array) -> Detections:
     )
 
 
+def pipeline_key(
+    detection_model,
+    bucket_h: int,
+    bucket_w: int,
+    slice_height: int,
+    slice_width: int,
+    perform_standard_pred,
+    postprocess_type: str,
+    postprocess_match_metric: str,
+    postprocess_match_threshold,
+    postprocess_class_agnostic,
+    merge_capacity,
+    use_pallas_gather: bool = False,
+    input_format: str = "rgb",
+) -> tuple:
+    """THE fused-pipeline cache key. Single constructor for every call site
+    (engine dispatch paths, bench device accounting) — the 14-tuple is
+    destructured positionally by _get_fused_pipeline, so ad-hoc rebuilds
+    would silently transpose config fields when the key evolves."""
+    img_size = int(detection_model.image_size or max(slice_height, slice_width))
+    return (
+        bucket_h,
+        bucket_w,
+        slice_height,
+        slice_width,
+        bool(perform_standard_pred),
+        float(detection_model.confidence_threshold),
+        postprocess_type.upper(),
+        postprocess_match_metric.upper(),
+        float(postprocess_match_threshold),
+        bool(postprocess_class_agnostic),
+        int(merge_capacity),
+        img_size,
+        bool(use_pallas_gather),
+        str(input_format),
+    )
+
+
 def _get_fused_pipeline(
     detection_model: DetectionModel,
     key: tuple,
@@ -301,22 +339,11 @@ def _dispatch_sliced(
     durations["slice"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    img_size = int(detection_model.image_size or max(slice_height, slice_width))
-    key = (
-        bucket_h,
-        bucket_w,
-        slice_height,
-        slice_width,
-        bool(perform_standard_pred),
-        float(detection_model.confidence_threshold),
-        postprocess_type.upper(),
-        postprocess_match_metric.upper(),
-        float(postprocess_match_threshold),
-        bool(postprocess_class_agnostic),
-        int(merge_capacity),
-        img_size,
-        bool(use_pallas_gather),
-        str(input_format),
+    key = pipeline_key(
+        detection_model, bucket_h, bucket_w, slice_height, slice_width,
+        perform_standard_pred, postprocess_type, postprocess_match_metric,
+        postprocess_match_threshold, postprocess_class_agnostic,
+        merge_capacity, use_pallas_gather, input_format,
     )
     fused = _get_fused_pipeline(detection_model, key, mesh=mesh)
     if input_format == "yuv420":
@@ -392,22 +419,12 @@ def _dispatch_sliced_batch(imgs: list, detection_model: DetectionModel, opts: di
     offsets, tile_valid = pad_grid_offsets(grid, t_bucket)
     bucket_h = bucket_image_dim(grid.padded_h)
     bucket_w = bucket_image_dim(grid.padded_w)
-    img_size = int(detection_model.image_size or max(slice_height, slice_width))
-    key = (
-        bucket_h,
-        bucket_w,
-        slice_height,
-        slice_width,
-        bool(opts["perform_standard_pred"]),
-        float(detection_model.confidence_threshold),
-        opts["postprocess_type"].upper(),
-        opts["postprocess_match_metric"].upper(),
-        float(opts["postprocess_match_threshold"]),
-        bool(opts["postprocess_class_agnostic"]),
-        int(opts["merge_capacity"]),
-        img_size,
-        False,
-        str(opts.get("input_format", "rgb")),
+    key = pipeline_key(
+        detection_model, bucket_h, bucket_w, slice_height, slice_width,
+        opts["perform_standard_pred"], opts["postprocess_type"],
+        opts["postprocess_match_metric"], opts["postprocess_match_threshold"],
+        opts["postprocess_class_agnostic"], opts["merge_capacity"],
+        False, opts.get("input_format", "rgb"),
     )
     fused = _get_fused_pipeline(detection_model, key)
     if opts.get("input_format", "rgb") == "yuv420":

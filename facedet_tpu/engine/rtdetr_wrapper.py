@@ -38,6 +38,17 @@ class RtDetrDetectionModel(DetectionModel):
                 )
         elif str(self.model_path).endswith(".npz"):
             self.variables = load_params_npz(self.model_path)
+            # pre-CDN checkpoints lack the dn_embed table (models/rtdetr.py
+            # materialises it unconditionally now); backfill from a fresh
+            # init so old .npz files keep loading — inference never reads it
+            params = self.variables.get("params", {})
+            if "dn_embed" not in params:
+                with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                    fresh = self.model.init(
+                        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                        train=False,
+                    )
+                params["dn_embed"] = fresh["params"]["dn_embed"]
         else:
             raise ValueError(f"unsupported checkpoint format: {self.model_path}")
 

@@ -356,16 +356,58 @@ def _op_resize(env, node):
         scales = a.get("scales") or np.asarray(env[node.inputs[1]])
     else:
         scales = None
-        if len(node.inputs) > 2 and node.inputs[2] and node.inputs[2] in env:
+        if len(node.inputs) == 2 and node.inputs[1] in env:
+            # opset-10 Resize(X, scales) two-input form
+            s = np.asarray(env[node.inputs[1]])
+            scales = s if s.size else None
+        if scales is None and len(node.inputs) > 2 and node.inputs[2] and node.inputs[2] in env:
             s = np.asarray(env[node.inputs[2]])
             scales = s if s.size else None
         if scales is None and len(node.inputs) > 3 and node.inputs[3] in env:
             sizes = [int(v) for v in np.asarray(env[node.inputs[3]])]
+        if scales is None and sizes is None:
+            raise NotImplementedError(
+                f"Resize node {node.name!r}: neither scales nor sizes resolved"
+            )
     if sizes is None:
         scales = [float(s) for s in np.asarray(scales).reshape(-1)]
         sizes = [int(round(d * s)) for d, s in zip(x.shape, scales)]
     method = {"nearest": "nearest", "linear": "linear", "cubic": "cubic"}[mode]
     return jax.image.resize(x, tuple(sizes), method=method)
+
+
+def _reduce_axes(env, n):
+    """Reduce* axes: the `axes` attribute (opset < 18) or the optional second
+    input (opset >= 18); absent/empty means reduce over all axes."""
+    if "axes" in n.attrs:
+        return tuple(int(a) for a in np.asarray(n.attrs["axes"]).reshape(-1))
+    if len(n.inputs) > 1 and n.inputs[1] and n.inputs[1] in env:
+        ax = np.asarray(env[n.inputs[1]]).reshape(-1)
+        if ax.size:
+            return tuple(int(a) for a in ax)
+    return tuple(range(env[n.inputs[0]].ndim))
+
+
+def _op_pad(env, n):
+    """Pad with mode support (constant/reflect/edge) and the opset-11+
+    constant_value input; raises on unsupported modes instead of silently
+    zero-padding."""
+    x = env[n.inputs[0]]
+    pads = np.asarray(
+        n.attrs.get("pads") if "pads" in n.attrs else env[n.inputs[1]]
+    ).reshape(-1)
+    width = [(int(p0), int(p1)) for p0, p1 in zip(*np.split(pads, 2))]
+    mode = n.attrs.get("mode", "constant")
+    if isinstance(mode, bytes):
+        mode = mode.decode()
+    if mode == "constant":
+        cval = n.attrs.get("value", 0.0)
+        if len(n.inputs) > 2 and n.inputs[2] and n.inputs[2] in env:
+            cval = float(np.asarray(env[n.inputs[2]]).reshape(()))
+        return jnp.pad(x, width, constant_values=cval)
+    if mode in ("reflect", "edge"):
+        return jnp.pad(x, width, mode={"reflect": "reflect", "edge": "edge"}[mode])
+    raise NotImplementedError(f"Pad mode {mode!r} is not supported")
 
 
 def _np_or_jnp(*vals):
@@ -611,20 +653,10 @@ _OPS: dict[str, Callable] = {
         n.attrs["value"].reshape(-1)[0] if "value" in n.attrs else 0.0,
     ),
     "Slice": _op_slice,
-    "Pad": lambda env, n: jnp.pad(
-        env[n.inputs[0]],
-        [
-            (int(p0), int(p1))
-            for p0, p1 in zip(*np.split(np.asarray(
-                n.attrs.get("pads") if "pads" in n.attrs
-                else env[n.inputs[1]]
-            ).reshape(-1), 2))
-        ],
-        constant_values=n.attrs.get("value", 0.0),
-    ),
+    "Pad": _op_pad,
     "ReduceMean": lambda env, n: jnp.mean(
         env[n.inputs[0]],
-        axis=tuple(n.attrs.get("axes", range(env[n.inputs[0]].ndim))),
+        axis=_reduce_axes(env, n),
         keepdims=bool(n.attrs.get("keepdims", 1)),
     ),
     "GridSample": _op_grid_sample,
@@ -657,15 +689,12 @@ _OPS: dict[str, Callable] = {
     ),
     "ReduceSum": lambda env, n: jnp.sum(
         env[n.inputs[0]],
-        axis=tuple(
-            n.attrs.get("axes")
-            or ([int(v) for v in np.asarray(env[n.inputs[1]])] if len(n.inputs) > 1 and n.inputs[1] else range(env[n.inputs[0]].ndim))
-        ),
+        axis=_reduce_axes(env, n),
         keepdims=bool(n.attrs.get("keepdims", 1)),
     ),
     "ReduceMax": lambda env, n: jnp.max(
         env[n.inputs[0]],
-        axis=tuple(n.attrs.get("axes", range(env[n.inputs[0]].ndim))),
+        axis=_reduce_axes(env, n),
         keepdims=bool(n.attrs.get("keepdims", 1)),
     ),
     "Split": None,  # handled specially (multi-output)
