@@ -121,6 +121,7 @@ class MjpegAviWriter:
         self._spool = None
         self._lengths: list[int] = []
         self._size: Optional[tuple[int, int]] = None
+        self._closed = False
 
     def write(self, frame: np.ndarray) -> None:
         from PIL import Image
@@ -143,8 +144,11 @@ class MjpegAviWriter:
         self._lengths.append(len(jpeg))
 
     def close(self) -> None:
+        if self._closed:
+            return  # idempotent: a second close must not truncate the output
         if self._size is None:
             raise ValueError("no frames written")
+        self._closed = True
         self._spool.close()
         w, h = self._size
         n = len(self._lengths)
@@ -195,18 +199,30 @@ class MjpegAviWriter:
             f.write(idx1)
         os.remove(self._spool_path)
 
+    def _discard_spool(self) -> None:
+        if self._spool is not None and not self._closed:
+            self._closed = True
+            self._spool.close()
+            if os.path.exists(self._spool_path):
+                os.remove(self._spool_path)
+
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
         if exc[0]:
             # error path: drop the spool, leave no partial output
-            if self._spool is not None:
-                self._spool.close()
-                if os.path.exists(self._spool_path):
-                    os.remove(self._spool_path)
+            self._discard_spool()
         elif self._lengths:
             self.close()
+
+    def __del__(self):
+        # abandoned writer (no close(), no with-block): don't leave a
+        # potentially many-GB spool file on disk
+        try:
+            self._discard_spool()
+        except Exception:
+            pass
 
 
 # ---------------------------------------------------------------------- Y4M -

@@ -76,7 +76,6 @@ class OnnxDetectionModel(DetectionModel):
         out = jax.vmap(lambda xi: self._onnx(variables["params"], xi[None])[0])(x)
         out = out.reshape((tiles.shape[0],) + out.shape[-2:])
         layout = self._classify_layout(out)
-        size = float(tiles.shape[1])
 
         if layout == "yolo":
             out = jnp.swapaxes(out, 1, 2)  # [T, A, C]

@@ -39,16 +39,15 @@ class RtDetrDetectionModel(DetectionModel):
         elif str(self.model_path).endswith(".npz"):
             self.variables = load_params_npz(self.model_path)
             # pre-CDN checkpoints lack the dn_embed table (models/rtdetr.py
-            # materialises it unconditionally now); backfill from a fresh
-            # init so old .npz files keep loading — inference never reads it
+            # materialises it unconditionally now). Inference never reads the
+            # CDN table, so zeros of the right shape satisfy flax's param
+            # check without paying a full model.init trace on every
+            # legacy-checkpoint load
             params = self.variables.get("params", {})
             if "dn_embed" not in params:
-                with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                    fresh = self.model.init(
-                        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
-                        train=False,
-                    )
-                params["dn_embed"] = fresh["params"]["dn_embed"]
+                params["dn_embed"] = jnp.zeros(
+                    (self.cfg.num_classes + 1, self.cfg.hidden_dim)
+                )
         else:
             raise ValueError(f"unsupported checkpoint format: {self.model_path}")
 
@@ -143,16 +142,21 @@ class FaceDetector:
         n = 0
         total_faces = 0
         t0 = time.perf_counter()
-        for result in predict_stream(frames(), self.model, perform_standard_pred=True):
-            writer.write(
-                draw_detections_on_image(result.image, result.object_prediction_list)
-            )
-            total_faces += len(result.object_prediction_list)
-            n += 1
-            if verbose and n % 25 == 0:
-                print(f"frame {n}: {len(result.object_prediction_list)} faces")
-        if n:
-            writer.close()
+        # with-block: an inference error mid-video must not orphan the
+        # writer's on-disk spool file (can be GBs for long videos)
+        with writer:
+            for result in predict_stream(
+                frames(), self.model, perform_standard_pred=True
+            ):
+                writer.write(
+                    draw_detections_on_image(
+                        result.image, result.object_prediction_list
+                    )
+                )
+                total_faces += len(result.object_prediction_list)
+                n += 1
+                if verbose and n % 25 == 0:
+                    print(f"frame {n}: {len(result.object_prediction_list)} faces")
         dt = time.perf_counter() - t0
         if verbose:
             print(f"{n} frames, {total_faces} faces in {dt:.1f}s -> {output_path}")

@@ -378,13 +378,20 @@ def _op_resize(env, node):
 
 def _reduce_axes(env, n):
     """Reduce* axes: the `axes` attribute (opset < 18) or the optional second
-    input (opset >= 18); absent/empty means reduce over all axes."""
+    input (opset >= 18). Absent/empty axes reduce over ALL axes unless the
+    node sets noop_with_empty_axes=1, in which case the op is identity
+    (axis=() performs no reduction)."""
+    axes = None
     if "axes" in n.attrs:
-        return tuple(int(a) for a in np.asarray(n.attrs["axes"]).reshape(-1))
-    if len(n.inputs) > 1 and n.inputs[1] and n.inputs[1] in env:
+        ax = np.asarray(n.attrs["axes"]).reshape(-1)
+        axes = tuple(int(a) for a in ax) if ax.size else None
+    elif len(n.inputs) > 1 and n.inputs[1] and n.inputs[1] in env:
         ax = np.asarray(env[n.inputs[1]]).reshape(-1)
-        if ax.size:
-            return tuple(int(a) for a in ax)
+        axes = tuple(int(a) for a in ax) if ax.size else None
+    if axes is not None:
+        return axes
+    if n.attrs.get("noop_with_empty_axes", 0):
+        return ()
     return tuple(range(env[n.inputs[0]].ndim))
 
 
