@@ -146,7 +146,7 @@ class MjpegAviWriter:
     def close(self) -> None:
         if self._closed:
             return  # idempotent: a second close must not truncate the output
-        if self._size is None:
+        if self._size is None or self._spool is None:
             raise ValueError("no frames written")
         self._closed = True
         self._spool.close()

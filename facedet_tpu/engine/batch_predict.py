@@ -31,15 +31,117 @@ __all__ = [
 ]
 
 
-def predict_fiftyone(*args, **kwargs):  # pragma: no cover - optional dep
-    """FiftyOne-visualised batch prediction (docs sahi/predict.py:787) —
-    requires the optional fiftyone package, which is not installed on TPU
-    build hosts. Run ``predict(..., dataset_json_path=...)`` and load the COCO
-    result.json into FiftyOne offline instead."""
-    raise ImportError(
-        "fiftyone is not available in this environment; use predict() with "
-        "dataset_json_path and import the COCO results into FiftyOne offline"
+def create_fiftyone_dataset_from_coco_file(image_dir: str, dataset_json_path: str):
+    """Build a FiftyOne dataset from a COCO annotations file (the sahi
+    ``create_fiftyone_dataset_from_coco_file`` util used at docs
+    sahi/predict.py:880-890). Import-gated on the optional fiftyone package."""
+    import fiftyone as fo
+
+    return fo.Dataset.from_dir(
+        dataset_type=fo.types.COCODetectionDataset,
+        data_path=image_dir,
+        labels_path=dataset_json_path,
+        label_field="ground_truth",
     )
+
+
+def predict_fiftyone(
+    detection_model=None,
+    dataset_json_path: str = "",
+    image_dir: str = "",
+    no_standard_prediction: bool = False,
+    no_sliced_prediction: bool = False,
+    image_size: Optional[int] = None,
+    slice_height: int = 256,
+    slice_width: int = 256,
+    overlap_height_ratio: float = 0.2,
+    overlap_width_ratio: float = 0.2,
+    postprocess_type: str = "GREEDYNMM",
+    postprocess_match_metric: str = "IOS",
+    postprocess_match_threshold: float = 0.5,
+    postprocess_class_agnostic: bool = False,
+    model_confidence_threshold: Optional[float] = None,
+    label_field: str = "predictions",
+    launch_app: bool = True,
+    verbose: int = 1,
+):
+    """FiftyOne-visualised batch prediction (docs sahi/predict.py:787-986):
+    build a dataset from a COCO file, run standard/sliced prediction per
+    sample, attach the detections, then launch the app and print a detection
+    evaluation report. Import-gated on the optional fiftyone package; with
+    ``launch_app=False`` the populated dataset is returned for offline use
+    (and for tests via a stubbed ``fiftyone`` module)."""
+    import fiftyone as fo
+
+    from facedet_tpu.data.native_loader import load_image
+    from facedet_tpu.engine.predict import get_prediction, get_sliced_prediction
+
+    if no_standard_prediction and no_sliced_prediction:
+        raise ValueError(
+            "'no_standard_prediction' and 'no_sliced_prediction' cannot both be True"
+        )
+    if detection_model is None:
+        raise ValueError("detection_model is required")
+    if model_confidence_threshold is not None:
+        detection_model.confidence_threshold = model_confidence_threshold
+    if image_size is not None:
+        detection_model.image_size = image_size
+
+    dataset = create_fiftyone_dataset_from_coco_file(image_dir, dataset_json_path)
+
+    durations = {"prediction": 0.0, "slice": 0.0}
+    for sample in dataset:
+        image = load_image(sample.filepath)
+        if no_sliced_prediction:
+            result = get_prediction(image, detection_model)
+        else:
+            result = get_sliced_prediction(
+                image,
+                detection_model,
+                slice_height=slice_height,
+                slice_width=slice_width,
+                overlap_height_ratio=overlap_height_ratio,
+                overlap_width_ratio=overlap_width_ratio,
+                perform_standard_pred=not no_standard_prediction,
+                postprocess_type=postprocess_type,
+                postprocess_match_metric=postprocess_match_metric,
+                postprocess_match_threshold=postprocess_match_threshold,
+                postprocess_class_agnostic=postprocess_class_agnostic,
+            )
+        for k in ("prediction", "slice"):
+            durations[k] += result.durations_in_seconds.get(k, 0.0)
+        h, w = image.shape[:2]
+        sample[label_field] = fo.Detections(
+            detections=[
+                p.to_fiftyone_detection(image_height=h, image_width=w)
+                for p in result.object_prediction_list
+            ]
+        )
+        sample.save()
+
+    if verbose:
+        print(f"Slicing performed in {durations['slice']:.2f} seconds.")
+        print(f"Prediction performed in {durations['prediction']:.2f} seconds.")
+
+    if launch_app:  # pragma: no cover - interactive
+        session = fo.launch_app()
+        session.dataset = dataset
+        results = dataset.evaluate_detections(
+            label_field,
+            gt_field="ground_truth",
+            eval_key="eval",
+            iou=postprocess_match_threshold,
+            compute_mAP=True,
+        )
+        counts = dataset.count_values("ground_truth.detections.label")
+        top10 = sorted(counts, key=counts.get, reverse=True)[:10]
+        results.print_report(classes=top10)
+        session.view = dataset.load_evaluation_view("eval").sort_by(
+            "eval_fp", reverse=True
+        )
+        while True:
+            time.sleep(3)
+    return dataset
 
 
 def bbox_sort(a, b, thresh: float) -> float:

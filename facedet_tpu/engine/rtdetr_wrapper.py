@@ -43,7 +43,7 @@ class RtDetrDetectionModel(DetectionModel):
             # CDN table, so zeros of the right shape satisfy flax's param
             # check without paying a full model.init trace on every
             # legacy-checkpoint load
-            params = self.variables.get("params", {})
+            params = self.variables["params"]  # missing "params" must fail here, not at apply
             if "dn_embed" not in params:
                 params["dn_embed"] = jnp.zeros(
                     (self.cfg.num_classes + 1, self.cfg.hidden_dim)

@@ -403,6 +403,15 @@ def _op_pad(env, n):
     pads = np.asarray(
         n.attrs.get("pads") if "pads" in n.attrs else env[n.inputs[1]]
     ).reshape(-1)
+    if len(n.inputs) > 3 and n.inputs[3] and n.inputs[3] in env:
+        # opset-18 optional `axes` input: pads has 2*len(axes) entries in axes
+        # order; expand to full rank (unlisted dims unpadded)
+        axes = [int(a) % x.ndim for a in np.asarray(env[n.inputs[3]]).reshape(-1)]
+        starts, ends = np.split(pads, 2)
+        full = np.zeros(2 * x.ndim, dtype=np.int64)
+        for a, s, e in zip(axes, starts, ends):
+            full[a], full[x.ndim + a] = s, e
+        pads = full
     width = [(int(p0), int(p1)) for p0, p1 in zip(*np.split(pads, 2))]
     mode = n.attrs.get("mode", "constant")
     if isinstance(mode, bytes):
@@ -704,6 +713,15 @@ _OPS: dict[str, Callable] = {
         axis=_reduce_axes(env, n),
         keepdims=bool(n.attrs.get("keepdims", 1)),
     ),
+    "ReduceMin": lambda env, n: jnp.min(
+        env[n.inputs[0]],
+        axis=_reduce_axes(env, n),
+        keepdims=bool(n.attrs.get("keepdims", 1)),
+    ),
+    "Max": _binop(np.maximum, jnp.maximum),
+    "Min": _binop(np.minimum, jnp.minimum),
+    "Floor": lambda env, n: jnp.floor(env[n.inputs[0]]),
+    "Log": lambda env, n: jnp.log(env[n.inputs[0]]),
     "Split": None,  # handled specially (multi-output)
     "TopK": None,  # handled specially (multi-output)
 }

@@ -411,6 +411,11 @@ def _staged_run_fn(model, tx, steps_per_dispatch, flip):
                 )
                 bx = jnp.where(flips[:, None, None], fb, bx)
                 kpx = kp.at[..., 0].set(width - kp[..., 0])
+                if kp.shape[-2] == 5:
+                    # mirroring swaps left/right landmark semantics — permute
+                    # [l_eye, r_eye, nose, l_mouth, r_mouth] -> [1,0,2,4,3]
+                    # (reference/ultralytics flip_idx on fliplr)
+                    kpx = kpx[..., jnp.array([1, 0, 2, 4, 3]), :]
                 kp = jnp.where(flips[:, None, None, None], kpx, kp)
             # dead padded rows would flip to x1=x2=width garbage; re-zero them
             bx = bx * mk[..., None]

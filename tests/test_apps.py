@@ -130,6 +130,78 @@ def test_batch_predict_auto_nms_switch(input_dir, tmp_path):
     assert out["num_images"] == 1
 
 
+def test_predict_fiftyone_with_stub(input_dir, monkeypatch):
+    """predict_fiftyone's dataset-assembly half, exercised via a stub
+    fiftyone module injected into sys.modules (VERDICT r2 missing #2)."""
+    import sys
+    import types
+
+    class StubSample:
+        def __init__(self, filepath):
+            self.filepath = filepath
+            self.fields = {}
+            self.saved = False
+
+        def __setitem__(self, k, v):
+            self.fields[k] = v
+
+        def save(self):
+            self.saved = True
+
+    class StubDataset:
+        def __init__(self, samples):
+            self.samples = samples
+
+        def __iter__(self):
+            return iter(self.samples)
+
+    captured = {}
+
+    def from_dir(dataset_type=None, data_path=None, labels_path=None, label_field=None):
+        captured["labels_path"] = labels_path
+        imgs = sorted(
+            os.path.join(data_path, f)
+            for f in os.listdir(data_path)
+            if f.endswith(".jpg")
+        )
+        return StubDataset([StubSample(p) for p in imgs])
+
+    fo = types.ModuleType("fiftyone")
+    fo.Dataset = types.SimpleNamespace(from_dir=from_dir)
+    fo.types = types.SimpleNamespace(COCODetectionDataset=object())
+    fo.Detection = lambda label, bounding_box, confidence: {
+        "label": label, "bounding_box": bounding_box, "confidence": confidence,
+    }
+    fo.Detections = lambda detections: {"detections": detections}
+    monkeypatch.setitem(sys.modules, "fiftyone", fo)
+
+    from facedet_tpu.engine.batch_predict import predict_fiftyone
+
+    model = FakeBlobDetectionModel(confidence_threshold=0.5)
+    ds = predict_fiftyone(
+        detection_model=model,
+        dataset_json_path="coco.json",
+        image_dir=str(input_dir),
+        slice_height=64,
+        slice_width=64,
+        launch_app=False,
+        verbose=0,
+    )
+    assert captured["labels_path"] == "coco.json"
+    samples = list(ds)
+    assert len(samples) == 2
+    for s in samples:
+        assert s.saved
+        assert "predictions" in s.fields
+    # two.jpg has 2 blobs; every detection carries a normalized rel box
+    two = [s for s in samples if s.filepath.endswith("two.jpg")][0]
+    dets = two.fields["predictions"]["detections"]
+    assert len(dets) == 2
+    for d in dets:
+        assert all(0.0 <= v <= 1.0 for v in d["bounding_box"])
+        assert d["label"] == "face"
+
+
 def test_bbox_sort_reading_order():
     from facedet_tpu.engine.batch_predict import bbox_sort
     from functools import cmp_to_key
