@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from facedet_tpu.models.layers import upsample2x
+
 STRIDES = (8, 16, 32)
 NUM_ANCHORS = 2  # anchors per location (same center, duplicated)
 
@@ -92,11 +94,13 @@ class Pafpn(nn.Module):
         lat = [
             nn.Conv(c, (1, 1), dtype=dt, name=f"lat{i}")(f) for i, f in enumerate(feats)
         ]
-        # top-down
+        # top-down (nearest 2x upsample as broadcast+reshape — MXU/XLA-friendly
+        # and ONNX-exportable, vs jax.image.resize's gather lowering; crop
+        # covers odd feature sizes from non-power-of-two inputs)
         p = [None] * 3
         p[2] = lat[2]
         for i in (1, 0):
-            up = jax.image.resize(p[i + 1], lat[i].shape, "nearest")
+            up = upsample2x(p[i + 1])[:, : lat[i].shape[1], : lat[i].shape[2], :]
             p[i] = lat[i] + up
         p = [
             nn.Conv(c, (3, 3), padding=1, dtype=dt, name=f"smooth{i}")(pi)

@@ -55,14 +55,12 @@ def decode_predictions(level_outputs: list[dict]) -> dict:
 
         if "kpt" in level:
             km = level["kpt"].reshape(b, h * w, -1, 3)
-            kx = (km[..., 0] * 2.0 + (anchors[None, :, None, 0] - 0.5)) * strides[
-                None, :, None
-            ]
-            ky = (km[..., 1] * 2.0 + (anchors[None, :, None, 1] - 0.5)) * strides[
-                None, :, None
-            ]
-            kv = jax.nn.sigmoid(km[..., 2])
-            kpts.append(jnp.stack([kx, ky, kv], axis=-1))
+            # slice-only formulation (no integer-index gathers): keeps the
+            # trace ONNX-exportable and fuses as two elementwise ops
+            axy = anchors[None, :, None, :]  # [1, A, 1, 2]
+            kxy = (km[..., :2] * 2.0 + (axy - 0.5)) * strides[None, :, None, None]
+            kv = jax.nn.sigmoid(km[..., 2:3])
+            kpts.append(jnp.concatenate([kxy, kv], axis=-1))
 
     out = {
         "boxes": jnp.concatenate(boxes, axis=1),
