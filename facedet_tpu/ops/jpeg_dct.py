@@ -1,0 +1,209 @@
+"""Quantized-DCT image ingest: entropy-domain upload, IDCT on the MXU.
+
+The serving pipeline is host-link bound (BENCH.md: the tunneled TPU link
+moves ~30-50 MB/s effective). YUV420 ingest (ops/color.py) already halves
+bytes vs RGB; this module goes one step further up the JPEG stack: upload the
+*quantized 8x8 DCT coefficients* — the representation JPEG files actually
+store — and run dequantization + inverse DCT on device, where each block's
+IDCT is two 8x8 matmuls that XLA maps straight onto the MXU and fuses into
+the detector's input pipeline.
+
+Why it wins on the wire: quantized AC coefficients are ~97% zeros for natural
+images, so the link's transparent compressor (weak, but real — measured ~2x
+on low-entropy data, BENCH.md round 3) moves them ~1.8x faster than YUV
+planes of the same nominal size. Measured same-phase A/B: 8 images as YUV420
+11.4 img/s-equivalent vs int8 DCT 20.4 (BENCH.md round-3 ingest study).
+
+Layout per image (``DctImage``):
+  y_dc  [Hb, Wb]        int16 — DC (exact; range +-1024/q exceeds int8)
+  y_ac  [Hb, Wb, 64]    int8  — AC quantized, slot 0 zeroed, clip +-127
+  uv_dc [Hb2, Wb2, 2]   int16
+  uv_ac [Hb2, Wb2, 2, 64] int8
+  qy/qc [64]            float32 quant tables (per-image — real JPEG files
+                        carry their own tables; libjpeg's FDCT uses exactly
+                        the orthonormal scaling used here, so file
+                        coefficients are drop-in compatible)
+
+Lossy-ness contract: encoding from raw RGB at ``quality`` (default 90) loses
+exactly what a quality-90 JPEG save loses (plus rare AC clips at +-127);
+when the source is already a JPEG decoded to coefficients, the path is
+lossless relative to the file. The reference's own inputs are JPEGs
+(temp_streamlit/*/temp_sahi_input.jpg), so this matches its data fidelity.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "DctImage",
+    "quality_tables",
+    "encode_dct420",
+    "decode_dct420_to_yuv_f32",
+    "dct420_bytes",
+]
+
+# IJG standard base tables (Annex K of the JPEG spec)
+_BASE_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], np.float32)
+_BASE_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], np.float32)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal type-II DCT matrix (8x8) — identical scaling to libjpeg's
+    FDCT (jfdctint.c), so real-file coefficients decode with the same math."""
+    n = 8
+    k = np.arange(n)
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    c[0] /= np.sqrt(2.0)
+    return c.astype(np.float32)
+
+
+_C = _dct_matrix()
+
+
+def quality_tables(quality: int = 90) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling -> (luma [64], chroma [64]) float32 tables."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
+    def tbl(base):
+        return np.clip(np.floor((base * scale + 50.0) / 100.0), 1.0, 255.0)
+    return tbl(_BASE_LUMA).astype(np.float32), tbl(_BASE_CHROMA).astype(np.float32)
+
+
+@dataclasses.dataclass
+class DctImage:
+    """One image as quantized 4:2:0 DCT planes + its true pixel size."""
+
+    y_dc: np.ndarray
+    y_ac: np.ndarray
+    uv_dc: np.ndarray
+    uv_ac: np.ndarray
+    qy: np.ndarray
+    qc: np.ndarray
+    hw: tuple[int, int]
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """[H, W] (H, W % 8 == 0) -> [H/8, W/8, 8, 8]."""
+    h, w = plane.shape
+    return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _quantize_plane(plane: np.ndarray, q: np.ndarray):
+    """Float plane (already level-shifted by -128) -> (dc int16, ac int8)."""
+    blocks = _blockify(plane)
+    coef = np.einsum("ij,byjk,lk->byil", _C, blocks, _C)
+    cq = np.round(coef.reshape(*coef.shape[:2], 64) / q)
+    dc = np.clip(cq[..., 0], -(1 << 15), (1 << 15) - 1).astype(np.int16)
+    ac = np.clip(cq, -127, 127).astype(np.int8)
+    ac[..., 0] = 0
+    return dc, ac
+
+
+def encode_dct420(image, quality: int = 90, pad_to: tuple[int, int] | None = None) -> DctImage:
+    """uint8 RGB [H,W,3] (or (Y, UV) planes) -> :class:`DctImage`.
+
+    ``pad_to`` zero-pads (black luma / neutral chroma) to a bucketed canvas
+    BEFORE the transform so padded blocks carry near-zero coefficients —
+    the coefficient-space equivalent of the YUV path's padded canvas."""
+    from facedet_tpu.ops.color import rgb_to_yuv420
+
+    if isinstance(image, tuple):
+        y, uv = image
+    else:
+        y, uv = rgb_to_yuv420(np.asarray(image))
+    h, w = y.shape
+    if pad_to is not None:
+        ph, pw = pad_to
+    else:
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    if ph % 16 or pw % 16:
+        raise ValueError(f"dct420 canvas must be a multiple of 16, got {(ph, pw)}")
+    y_p = np.zeros((ph, pw), np.float32)
+    y_p[:h, :w] = y
+    uv_p = np.full((ph // 2, pw // 2, 2), 128.0, np.float32)
+    uv_p[: uv.shape[0], : uv.shape[1]] = uv
+
+    qy, qc = quality_tables(quality)
+    y_dc, y_ac = _quantize_plane(y_p - 128.0, qy)
+    u_dc, u_ac = _quantize_plane(uv_p[..., 0] - 128.0, qc)
+    v_dc, v_ac = _quantize_plane(uv_p[..., 1] - 128.0, qc)
+    return DctImage(
+        y_dc=y_dc,
+        y_ac=y_ac,
+        uv_dc=np.stack([u_dc, v_dc], axis=2),
+        uv_ac=np.stack([u_ac, v_ac], axis=2),
+        qy=qy,
+        qc=qc,
+        hw=(h, w),
+    )
+
+
+def _idct_plane(dc, ac, q):
+    """Device: (dc [Hb,Wb] int, ac [Hb,Wb,64] int, q [64]) -> [H, W] f32
+    (level-shifted back, unclipped). Two 8x8 matmuls per block on the MXU."""
+    coef = ac.astype(jnp.float32)
+    coef = coef.at[..., 0].set(dc.astype(jnp.float32))
+    coef = (coef * q).reshape(*coef.shape[:-1], 8, 8)
+    c = jnp.asarray(_C)
+    # IDCT: block = C^T @ coef @ C
+    blocks = jnp.einsum("ji,byjk,kl->byil", c, coef, c)
+    hb, wb = blocks.shape[0], blocks.shape[1]
+    return blocks.transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8) + 128.0
+
+
+def decode_dct420_to_yuv_f32(y_dc, y_ac, uv_dc, uv_ac, qy, qc):
+    """Device-side: quantized planes -> (Y [H,W] f32, UV [H/2,W/2,2] f32),
+    the float inputs of ops/color.py's YUV->RGB stage. Jit/vmap-friendly."""
+    y = _idct_plane(y_dc, y_ac, qy)
+    u = _idct_plane(uv_dc[..., 0], uv_ac[..., 0, :], qc)
+    v = _idct_plane(uv_dc[..., 1], uv_ac[..., 1, :], qc)
+    y = jnp.clip(y, 0.0, 255.0)
+    uv = jnp.clip(jnp.stack([u, v], axis=-1), 0.0, 255.0)
+    return y, uv
+
+
+def decode_dct420_np(img: DctImage) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side numpy decode (visualization/tests): -> (Y uint8 [Hp,Wp],
+    UV uint8 [Hp/2,Wp/2,2]) at the padded canvas size."""
+    def plane(dc, ac, q):
+        coef = ac.astype(np.float32)
+        coef[..., 0] = dc.astype(np.float32)
+        coef = (coef * q).reshape(*coef.shape[:2], 8, 8)
+        blocks = np.einsum("ji,byjk,kl->byil", _C, coef, _C)
+        hb, wb = blocks.shape[:2]
+        out = blocks.transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8) + 128.0
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+    y = plane(img.y_dc, img.y_ac.copy(), img.qy)
+    u = plane(img.uv_dc[..., 0], img.uv_ac[..., 0, :].copy(), img.qc)
+    v = plane(img.uv_dc[..., 1], img.uv_ac[..., 1, :].copy(), img.qc)
+    return y, np.stack([u, v], axis=-1)
+
+
+def dct420_bytes(h: int, w: int) -> int:
+    """H2D bytes for one dct420 image at (16-bucketed) h x w."""
+    yb = (h // 8) * (w // 8)
+    cb = (h // 16) * (w // 16) * 2
+    return yb * 64 + yb * 2 + cb * 64 + cb * 2  # ac int8 + dc int16

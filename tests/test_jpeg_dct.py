@@ -1,0 +1,124 @@
+"""Entropy-domain (quantized DCT) ingest: codec accuracy, device/host decode
+parity, and end-to-end pipeline parity with the RGB path (ops/jpeg_dct.py —
+the round-3 serving-bandwidth upgrade; BENCH.md ingest study)."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from facedet_tpu.ops.color import rgb_to_yuv420  # noqa: E402
+from facedet_tpu.ops.jpeg_dct import (  # noqa: E402
+    DctImage,
+    dct420_bytes,
+    decode_dct420_np,
+    decode_dct420_to_yuv_f32,
+    encode_dct420,
+    quality_tables,
+)
+
+
+def natural_image(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    base = np.kron(
+        rng.standard_normal((h // 16 + 1, w // 16 + 1)).astype(np.float32),
+        np.ones((16, 16), np.float32),
+    )[:h, :w]
+    base = base + 0.15 * rng.standard_normal((h, w)).astype(np.float32)
+    base = (base - base.min()) / (base.max() - base.min())
+    return np.stack([base * 255, base * 230 + 10, base * 210 + 25], -1).astype(
+        np.uint8
+    )
+
+
+def test_quality_tables_monotone():
+    q50y, q50c = quality_tables(50)
+    q90y, q90c = quality_tables(90)
+    assert (q90y <= q50y).all() and (q90c <= q50c).all()
+    assert q90y.min() >= 1 and q50c.max() <= 255
+
+
+def test_roundtrip_accuracy_q90():
+    img = natural_image(96, 128)
+    d = encode_dct420(img, quality=90)
+    assert isinstance(d, DctImage) and d.hw == (96, 128)
+    y, uv = decode_dct420_np(d)
+    y_ref, uv_ref = rgb_to_yuv420(img)
+    err = np.abs(y[:96, :128].astype(float) - y_ref.astype(float))
+    assert err.mean() < 3.0  # JPEG-q90-grade luma fidelity
+    cerr = np.abs(
+        uv[: uv_ref.shape[0], : uv_ref.shape[1]].astype(float) - uv_ref.astype(float)
+    )
+    assert cerr.mean() < 3.0
+
+
+def test_device_decode_matches_host():
+    img = natural_image(64, 80, seed=3)
+    d = encode_dct420(img, quality=85)
+    y_np, uv_np = decode_dct420_np(d)
+    y_dev, uv_dev = decode_dct420_to_yuv_f32(
+        *(jnp.asarray(x) for x in (d.y_dc, d.y_ac, d.uv_dc, d.uv_ac, d.qy, d.qc))
+    )
+    # host rounds to uint8; device stays float — within the rounding step
+    assert np.abs(np.asarray(y_dev) - y_np.astype(np.float32)).max() <= 0.51
+    assert np.abs(np.asarray(uv_dev) - uv_np.astype(np.float32)).max() <= 0.51
+
+
+def test_padding_is_black_luma_neutral_chroma():
+    from facedet_tpu.engine.predict import _pad_dct_planes
+
+    img = natural_image(40, 56, seed=5)
+    d = encode_dct420(img, quality=90)
+    planes = _pad_dct_planes(d, 128, 128)
+    dec = decode_dct420_np(
+        DctImage(planes[0], planes[1], planes[2], planes[3], d.qy, d.qc, (128, 128))
+    )
+    y, uv = dec
+    assert y[100:, 100:].mean() < 6.0  # near-black padding
+    assert abs(float(uv[40:, 40:].mean()) - 128.0) < 2.0  # neutral chroma
+
+
+def test_pipeline_parity_rgb_vs_dct():
+    from facedet_tpu.engine.fake import FakeBlobDetectionModel
+    from facedet_tpu.engine.predict import get_sliced_prediction
+
+    m = FakeBlobDetectionModel(confidence_threshold=0.5)
+    img = np.zeros((100, 120, 3), np.uint8)
+    img[29:32, 39:42] = 255
+    img[69:72, 89:92] = 255
+    r_rgb = get_sliced_prediction(img, m, slice_height=64, slice_width=64)
+    r_dct = get_sliced_prediction(
+        encode_dct420(img, quality=95), m,
+        slice_height=64, slice_width=64, input_format="dct420",
+    )
+    ba = np.array([p.bbox.to_xyxy() for p in r_rgb.object_prediction_list])
+    bb = np.array([p.bbox.to_xyxy() for p in r_dct.object_prediction_list])
+    assert len(ba) == len(bb) == 2
+    np.testing.assert_allclose(ba, bb, atol=1.0)
+    assert r_dct.image.shape == (100, 120, 3)
+
+
+def test_batched_stream_dct():
+    from facedet_tpu.engine.fake import FakeBlobDetectionModel
+    from facedet_tpu.engine.predict import predict_stream_batched
+
+    m = FakeBlobDetectionModel(confidence_threshold=0.5)
+    img = np.zeros((100, 120, 3), np.uint8)
+    img[29:32, 39:42] = 255
+    stream = [encode_dct420(img, quality=95) for _ in range(3)]
+    n = 0
+    for batch in predict_stream_batched(
+        stream, m, batch_size=2, slice_height=64, slice_width=64,
+        input_format="dct420",
+    ):
+        for res in batch:
+            assert len(res.object_prediction_list) == 1
+            n += 1
+    assert n == 3
+
+
+def test_bytes_accounting():
+    # 1.53 B/px: 64 int8 AC + 2B DC per 8x8 luma block + chroma at quarter res
+    b = dct420_bytes(1024, 1536)
+    assert b == 1024 * 1536 * 66 // 64 + (1024 // 16) * (1536 // 16) * 2 * 66
+    assert b < 1024 * 1536 * 3  # well under the RGB canvas
