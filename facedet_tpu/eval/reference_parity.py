@@ -67,23 +67,70 @@ def match_detections(
     return pairs
 
 
-def compare_image(golden: dict, detections, iou_thr: float = 0.5) -> dict:
-    """One image: golden faces vs a list of (bbox_xyxy, score)."""
-    g_boxes = np.array([f["bbox"] for f in golden["faces"]], np.float32).reshape(
-        -1, 4
-    )
+def compare_image(golden: dict, detections, iou_thr: float = 0.5,
+                  golden_kpts=None, min_golden_conf: float = 0.0) -> dict:
+    """One image: golden faces vs a list of (bbox_xyxy, score[, kpts 5x3]).
+
+    Golden faces whose recorded confidence band tops out below
+    ``min_golden_conf`` (e.g. the reference's conf-0.01 eval-run crops in the
+    dense parade scenes) become IGNORE regions: they leave the recall
+    denominator, and predictions landing on them don't hurt precision —
+    the standard low-conf-oracle treatment (same idea as WIDERFACE ignore).
+
+    With ``golden_kpts`` (per-face [5,3] arrays recovered from the
+    reference's rendered detail images — tools/golden_keypoints.py), matched
+    faces also score a landmark error: NME = mean landmark distance
+    normalized by sqrt(golden box area), over recovered (v=1) landmarks."""
+    scored_idx = [
+        i for i, f in enumerate(golden["faces"])
+        if f["conf_hi"] >= min_golden_conf
+    ]
+    ignore_idx = [
+        i for i, f in enumerate(golden["faces"])
+        if f["conf_hi"] < min_golden_conf
+    ]
+    faces = [golden["faces"][i] for i in scored_idx]
+    g_boxes = np.array([f["bbox"] for f in faces], np.float32).reshape(-1, 4)
+    ig_boxes = np.array(
+        [golden["faces"][i]["bbox"] for i in ignore_idx], np.float32
+    ).reshape(-1, 4)
+    if golden_kpts is not None:
+        golden_kpts = [golden_kpts[i] for i in scored_idx]
     p_boxes = np.array([d[0] for d in detections], np.float32).reshape(-1, 4)
     p_scores = np.array([d[1] for d in detections], np.float32)
     pairs = match_detections(g_boxes, p_boxes, iou_thr)
-    conf_deltas = []
+    matched_p = {pi for _gi, pi, _ in pairs}
+    n_ignored_p = 0
+    if len(ig_boxes) and len(p_boxes):
+        iou_ig = _iou_matrix(ig_boxes, p_boxes)
+        for pi in range(len(p_boxes)):
+            if pi not in matched_p and iou_ig[:, pi].max() >= iou_thr:
+                n_ignored_p += 1
+    conf_deltas, nmes, px_errs = [], [], []
     for gi, pi, _iou in pairs:
-        lo = golden["faces"][gi]["conf_lo"]
-        hi = golden["faces"][gi]["conf_hi"]
+        lo = faces[gi]["conf_lo"]
+        hi = faces[gi]["conf_hi"]
         s = float(p_scores[pi])
         conf_deltas.append(0.0 if lo <= s <= hi else min(abs(s - lo), abs(s - hi)))
-    n_g, n_p, n_m = len(g_boxes), len(p_boxes), len(pairs)
-    return {
+        if (
+            golden_kpts is not None
+            and len(detections[pi]) > 2
+            and detections[pi][2] is not None
+        ):
+            gk = np.asarray(golden_kpts[gi], np.float32)
+            pk = np.asarray(detections[pi][2], np.float32).reshape(-1, 3)
+            vis = gk[:, 2] > 0
+            if vis.any() and pk.shape[0] == gk.shape[0]:
+                d = np.linalg.norm(pk[vis, :2] - gk[vis, :2], axis=1)
+                x1, y1, x2, y2 = g_boxes[gi]
+                scale = max(np.sqrt(max((x2 - x1) * (y2 - y1), 1.0)), 1.0)
+                nmes.append(float(d.mean() / scale))
+                px_errs.append(float(d.mean()))
+    n_g, n_m = len(g_boxes), len(pairs)
+    n_p = len(p_boxes) - n_ignored_p
+    out = {
         "golden_faces": n_g,
+        "ignored_golden": len(ignore_idx),
         "predicted": n_p,
         "matched": n_m,
         "recall": n_m / n_g if n_g else 1.0,
@@ -91,6 +138,11 @@ def compare_image(golden: dict, detections, iou_thr: float = 0.5) -> dict:
         "mean_iou": float(np.mean([p[2] for p in pairs])) if pairs else 0.0,
         "mean_conf_delta": float(np.mean(conf_deltas)) if conf_deltas else None,
     }
+    if nmes:
+        out["mean_kpt_nme"] = float(np.mean(nmes))
+        out["mean_kpt_px_err"] = float(np.mean(px_errs))
+        out["kpt_faces"] = len(nmes)
+    return out
 
 
 def run_parity(
@@ -100,13 +152,18 @@ def run_parity(
     conf: float = 0.5,
     iou_thr: float = 0.5,
     operating_point: dict | None = None,
+    keypoints: dict | None = None,
 ) -> dict:
-    """Run the sliced pipeline on every golden image and aggregate agreement."""
+    """Run the sliced pipeline on every golden image and aggregate agreement.
+
+    ``keypoints``: the golden_keypoints.json dict (tools/golden_keypoints.py)
+    — when given, matched faces also aggregate the landmark-error columns."""
     from facedet_tpu.data.native_loader import load_image
     from facedet_tpu.engine.predict import get_sliced_prediction
 
     op = dict(REFERENCE_OPERATING_POINT)
     op.update(operating_point or {})
+    kp_images = (keypoints or {}).get("images", {})
     per_image = {}
     for name, golden in goldens["images"].items():
         src = os.path.join(ref_dir, name, "temp_sahi_input.jpg")
@@ -114,24 +171,40 @@ def run_parity(
             continue
         result = get_sliced_prediction(load_image(src), detection_model, **op)
         dets = [
-            (p.bbox.to_xyxy(), p.score.value)
+            (p.bbox.to_xyxy(), p.score.value, p.keypoints)
             for p in result.object_prediction_list
             if p.score.value >= conf
         ]
-        per_image[name] = compare_image(golden, dets, iou_thr)
+        g_kpts = None
+        if name in kp_images:
+            g_kpts = [f["kpts"] for f in kp_images[name]["faces"]]
+        per_image[name] = compare_image(
+            golden, dets, iou_thr, golden_kpts=g_kpts, min_golden_conf=conf
+        )
     matched = sum(r["matched"] for r in per_image.values())
     total_g = sum(r["golden_faces"] for r in per_image.values())
     total_p = sum(r["predicted"] for r in per_image.values())
     deltas = [
         r["mean_conf_delta"] for r in per_image.values() if r["mean_conf_delta"] is not None
     ]
-    return {
+    out = {
         "images": per_image,
         "recall": matched / total_g if total_g else None,
         "precision": matched / total_p if total_p else None,
         "mean_conf_delta": float(np.mean(deltas)) if deltas else None,
         "operating_point": {k: str(v) for k, v in op.items()},
     }
+    kp_rows = [r for r in per_image.values() if "mean_kpt_nme" in r]
+    if kp_rows:
+        n = sum(r["kpt_faces"] for r in kp_rows)
+        out["mean_kpt_nme"] = float(
+            sum(r["mean_kpt_nme"] * r["kpt_faces"] for r in kp_rows) / n
+        )
+        out["mean_kpt_px_err"] = float(
+            sum(r["mean_kpt_px_err"] * r["kpt_faces"] for r in kp_rows) / n
+        )
+        out["kpt_faces_scored"] = n
+    return out
 
 
 def main(argv=None):

@@ -28,29 +28,53 @@ import time
 
 import numpy as np
 
-GOLDENS_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "eval", "assets", "reference_goldens.json",
+_ASSETS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "eval", "assets"
 )
+GOLDENS_PATH = os.path.join(_ASSETS, "reference_goldens.json")
+KEYPOINTS_PATH = os.path.join(_ASSETS, "golden_keypoints.json")
 REF_DIR = "/root/reference"
 
 
 def load_golden_dataset(
-    goldens_path: str = GOLDENS_PATH, ref_dir: str = REF_DIR
+    goldens_path: str = GOLDENS_PATH,
+    ref_dir: str = REF_DIR,
+    keypoints_path: str | None = KEYPOINTS_PATH,
+    min_conf: float = 0.2,
 ) -> list[dict]:
-    """[{name, image uint8 [H,W,3], boxes float32 [N,4] xyxy}] for every
-    golden image whose source file exists."""
+    """[{name, image uint8 [H,W,3], boxes float32 [N,4] xyxy, kpts float32
+    [N,5,3]}] for every golden image whose source file exists. Keypoints come
+    from tools/golden_keypoints.py's recovered landmarks (zeros = none).
+
+    ``min_conf`` drops golden faces whose recorded confidence tops out below
+    it — the dense parade dirs were produced by a conf-0.01 eval run, and
+    near-zero-confidence reference detections are noise, not supervision."""
     from facedet_tpu.data.native_loader import load_image
 
     with open(goldens_path) as f:
         goldens = json.load(f)
+    kp_images = {}
+    if keypoints_path and os.path.exists(keypoints_path):
+        with open(keypoints_path) as f:
+            kp_images = json.load(f).get("images", {})
     records = []
     for name, rec in sorted(goldens["images"].items()):
         src = os.path.join(ref_dir, name, "temp_sahi_input.jpg")
         if not os.path.exists(src):
             continue
-        boxes = np.array([f["bbox"] for f in rec["faces"]], np.float32).reshape(-1, 4)
-        records.append({"name": name, "image": load_image(src), "boxes": boxes})
+        keep = [i for i, f in enumerate(rec["faces"]) if f["conf_hi"] >= min_conf]
+        boxes = np.array(
+            [rec["faces"][i]["bbox"] for i in keep], np.float32
+        ).reshape(-1, 4)
+        kpts = np.zeros((len(boxes), 5, 3), np.float32)
+        if name in kp_images:
+            kp_faces = kp_images[name]["faces"]
+            for j, i in enumerate(keep):
+                if i < len(kp_faces):
+                    kpts[j] = np.asarray(kp_faces[i]["kpts"], np.float32)
+        records.append(
+            {"name": name, "image": load_image(src), "boxes": boxes, "kpts": kpts}
+        )
     return records
 
 
@@ -64,12 +88,15 @@ def split_records(records: list[dict], holdout_every: int = 4):
 
 def _remap_boxes(
     boxes: np.ndarray, x0: float, y0: float, win: float, out: int,
-    min_visible: float = 0.4, min_px: float = 3.0,
-) -> np.ndarray:
+    min_visible: float = 0.4, min_px: float = 3.0, kpts: np.ndarray | None = None,
+):
     """Shift boxes into a window at (x0,y0) of size ``win``, scale to ``out``,
-    clip, and drop boxes with <``min_visible`` of their area left visible."""
+    clip, and drop boxes with <``min_visible`` of their area left visible.
+    ``kpts`` [N,5,3] remap with their boxes (visibility zeroed outside the
+    window). Returns boxes [M,4] (and kpts [M,5,3] when given)."""
     if len(boxes) == 0:
-        return boxes.reshape(0, 4)
+        empty_k = np.zeros((0, 5, 3), np.float32)
+        return (boxes.reshape(0, 4), empty_k) if kpts is not None else boxes.reshape(0, 4)
     b = boxes - np.array([x0, y0, x0, y0], np.float32)
     area = np.maximum(b[:, 2] - b[:, 0], 0) * np.maximum(b[:, 3] - b[:, 1], 0)
     c = np.clip(b, 0, win)
@@ -77,7 +104,20 @@ def _remap_boxes(
     keep = c_area >= min_visible * np.maximum(area, 1e-9)
     c = c[keep] * (out / win)
     wh = c[:, 2:] - c[:, :2]
-    return c[(wh[:, 0] >= min_px) & (wh[:, 1] >= min_px)]
+    keep2 = (wh[:, 0] >= min_px) & (wh[:, 1] >= min_px)
+    c = c[keep2]
+    if kpts is None:
+        return c
+    k = kpts[keep][keep2].copy()
+    if len(k):
+        k[..., 0] = (k[..., 0] - x0) * (out / win)
+        k[..., 1] = (k[..., 1] - y0) * (out / win)
+        inside = (
+            (k[..., 0] >= 0) & (k[..., 0] < out) & (k[..., 1] >= 0) & (k[..., 1] < out)
+        )
+        k[..., 2] = k[..., 2] * inside
+        k[..., :2] *= (k[..., 2:3] > 0)  # zero coords of invisible landmarks
+    return c, k
 
 
 def sample_crop(
@@ -105,18 +145,28 @@ def sample_crop(
         crop = np.asarray(
             Image.fromarray(crop).resize((out, out), Image.BILINEAR)
         )
-    b = _remap_boxes(boxes, x0, y0, win, out)
+    rec_kpts = rec.get("kpts")
+    if rec_kpts is None:
+        rec_kpts = np.zeros((len(boxes), 5, 3), np.float32)
+    b, k = _remap_boxes(boxes, x0, y0, win, out, kpts=rec_kpts)
     if rng.random() < 0.5:
         crop = crop[:, ::-1]
-        b = np.stack([out - b[:, 2], b[:, 1], out - b[:, 0], b[:, 3]], -1) if len(b) else b
-    b = b[:max_boxes]
+        if len(b):
+            b = np.stack([out - b[:, 2], b[:, 1], out - b[:, 0], b[:, 3]], -1)
+            k = k.copy()
+            k[..., 0] = (out - k[..., 0]) * (k[..., 2] > 0)
+            # mirroring swaps left/right landmark semantics (flip_idx)
+            k = k[:, [1, 0, 2, 4, 3]]
+    b, k = b[:max_boxes], k[:max_boxes]
     out_boxes = np.zeros((max_boxes, 4), np.float32)
     out_mask = np.zeros((max_boxes,), bool)
+    out_kpts = np.zeros((max_boxes, 5, 3), np.float32)
     out_boxes[: len(b)] = b
     out_mask[: len(b)] = True
+    out_kpts[: len(k)] = k
     # uint8 crops: the tunneled TPU link is bandwidth-bound, so batches ship
     # at 1 B/px and are normalised on device (see main's to_f32)
-    return np.ascontiguousarray(crop), out_boxes, out_mask
+    return np.ascontiguousarray(crop), out_boxes, out_mask, out_kpts
 
 
 def sample_mosaic(records, rng, out: int, max_boxes: int):
@@ -125,19 +175,26 @@ def sample_mosaic(records, rng, out: int, max_boxes: int):
     multiplies scene diversity on tiny datasets."""
     half = out // 2
     canvas = np.zeros((out, out, 3), np.uint8)
-    acc = []
+    acc, acc_k = [], []
     for oy, ox in ((0, 0), (0, half), (half, 0), (half, half)):
         rec = records[rng.integers(len(records))]
-        img, b, m = sample_crop(rec, rng, out=half, max_boxes=max_boxes)
+        img, b, m, k = sample_crop(rec, rng, out=half, max_boxes=max_boxes)
         canvas[oy : oy + half, ox : ox + half] = img
         if m.any():
             acc.append(b[m] + np.array([ox, oy, ox, oy], np.float32))
+            kk = k[m].copy()
+            kk[..., 0] += ox * (kk[..., 2] > 0)
+            kk[..., 1] += oy * (kk[..., 2] > 0)
+            acc_k.append(kk)
     b = (np.concatenate(acc) if acc else np.zeros((0, 4), np.float32))[:max_boxes]
+    k = (np.concatenate(acc_k) if acc_k else np.zeros((0, 5, 3), np.float32))[:max_boxes]
     out_boxes = np.zeros((max_boxes, 4), np.float32)
     out_mask = np.zeros((max_boxes,), bool)
+    out_kpts = np.zeros((max_boxes, 5, 3), np.float32)
     out_boxes[: len(b)] = b
     out_mask[: len(b)] = True
-    return canvas, out_boxes, out_mask
+    out_kpts[: len(k)] = k
+    return canvas, out_boxes, out_mask, out_kpts
 
 
 def _photometric_jitter(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
@@ -150,12 +207,12 @@ def _photometric_jitter(img: np.ndarray, rng: np.random.Generator) -> np.ndarray
 
 def sample_batch(records, rng, batch: int, out: int = 640, max_boxes: int = 64,
                  mosaic_prob: float = 0.0, jitter: bool = False):
-    ims, bxs, mks = [], [], []
+    ims, bxs, mks, kps = [], [], [], []
     for _ in range(batch):
         if mosaic_prob and rng.random() < mosaic_prob:
-            img, b, m = sample_mosaic(records, rng, out, max_boxes)
+            img, b, m, k = sample_mosaic(records, rng, out, max_boxes)
         else:
-            img, b, m = sample_crop(
+            img, b, m, k = sample_crop(
                 records[rng.integers(len(records))], rng, out=out,
                 max_boxes=max_boxes,
             )
@@ -164,18 +221,210 @@ def sample_batch(records, rng, batch: int, out: int = 640, max_boxes: int = 64,
         ims.append(img)
         bxs.append(b)
         mks.append(m)
-    return np.stack(ims), np.stack(bxs), np.stack(mks)
+        kps.append(k)
+    return np.stack(ims), np.stack(bxs), np.stack(mks), np.stack(kps)
 
 
 def parity_on_split(detection_model, goldens: dict, records: list[dict],
-                    ref_dir: str, conf: float, iou: float) -> dict:
+                    ref_dir: str, conf: float, iou: float,
+                    keypoints: dict | None = None) -> dict:
     from facedet_tpu.eval.reference_parity import run_parity
 
     names = {r["name"] for r in records}
     subset = {
         "images": {k: v for k, v in goldens["images"].items() if k in names}
     }
-    return run_parity(subset, ref_dir, detection_model, conf=conf, iou_thr=iou)
+    return run_parity(subset, ref_dir, detection_model, conf=conf, iou_thr=iou,
+                      keypoints=keypoints)
+
+
+def cv_folds(records: list[dict], n_folds: int = 4):
+    """K-fold split by sorted-name index: fold f holds out every record with
+    ``i % n_folds == f`` — every image is held out exactly once (VERDICT r2
+    #4: de-bias the step-count choice from the single fixed 12/4 split)."""
+    folds = []
+    for f in range(n_folds):
+        held = [r for i, r in enumerate(records) if i % n_folds == f]
+        train = [r for i, r in enumerate(records) if i % n_folds != f]
+        folds.append((train, held))
+    return folds
+
+
+def train_yolo(args, train_recs, seed: int = 0, eval_points=(), eval_hook=None):
+    """Train YOLOv11 on ``train_recs``; returns (det_model, train_seconds).
+
+    ``eval_points``: ascending step counts at which ``eval_hook(step, det)``
+    is called with a detector wrapping the CURRENT weights (used by the CV
+    mode to score several step budgets in one run)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from facedet_tpu.engine.detector import YoloV11PoseDetectionModel
+    from facedet_tpu.models.yolov11 import YoloConfig, YoloV11
+    from facedet_tpu.train.yolo_train import make_train_step
+
+    cfg = YoloConfig(scale=args.scale, num_classes=1, with_pose=True)
+    model = YoloV11(cfg)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, args.size, args.size, 3)),
+            train=False,
+        )
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, min(100, args.steps // 10), args.steps, args.lr * 0.01
+    )
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.adamw(sched, weight_decay=5e-4))
+    opt_state = tx.init(params)
+
+    def make_det(p, bs):
+        det = YoloV11PoseDetectionModel(
+            scale=args.scale, dtype="bfloat16", confidence_threshold=0.25,
+            image_size=args.size, load_at_init=False,
+        )
+        det.cfg = cfg
+        det.model = model
+        det.variables = {"params": p, "batch_stats": bs}
+        return det
+
+    evals = sorted({int(e) for e in eval_points if 0 < int(e) <= args.steps})
+
+    rng = np.random.default_rng(seed)
+    max_boxes = 64
+    t0 = time.perf_counter()
+    if args.staged:
+        from facedet_tpu.train.yolo_train import make_staged_train_loop
+
+        batches = [
+            sample_batch(train_recs, rng, args.batch, args.size, max_boxes,
+                         mosaic_prob=args.mosaic_prob, jitter=not args.no_jitter)
+            for _ in range(args.staged)
+        ]
+        s_ims = jnp.asarray(np.stack([b[0] for b in batches]))
+        s_bxs = jnp.asarray(np.stack([b[1] for b in batches]))
+        s_mks = jnp.asarray(np.stack([b[2] for b in batches]))
+        s_kps = jnp.asarray(np.stack([b[3] for b in batches]))
+        jax.block_until_ready((s_ims, s_bxs, s_mks))
+        print(f"staged {args.staged} batches "
+              f"({s_ims.nbytes / 1e6:.0f} MB uint8) in "
+              f"{time.perf_counter() - t0:.1f}s")
+        spd = min(args.steps_per_dispatch, args.steps)
+        run = make_staged_train_loop(model, tx, steps_per_dispatch=spd)
+        key = jax.random.PRNGKey(3 + seed)
+        done = 0
+        while done < args.steps:
+            key, sub = jax.random.split(key)
+            params, batch_stats, opt_state, mean_loss = run(
+                params, batch_stats, opt_state,
+                s_ims, s_bxs, s_mks, s_kps, done, sub,
+            )
+            done += spd
+            print(f"step {done}: mean loss {float(mean_loss):.4f}")
+            while evals and done >= evals[0]:
+                eval_hook(evals.pop(0), make_det(params, batch_stats))
+    else:
+        step = make_train_step(model, tx)
+        to_f32 = jax.jit(lambda u: u.astype(jnp.float32) / 255.0)
+        for it in range(args.steps):
+            ims, bxs, mks, kps = sample_batch(
+                train_recs, rng, args.batch, args.size, max_boxes,
+                mosaic_prob=args.mosaic_prob, jitter=not args.no_jitter,
+            )
+            params, batch_stats, opt_state, loss, _ = step(
+                params, batch_stats, opt_state,
+                to_f32(jnp.asarray(ims)), jnp.asarray(bxs), jnp.asarray(mks),
+                jnp.asarray(kps),
+            )
+            if it % 100 == 0 or it == args.steps - 1:
+                print(f"step {it}: loss {float(loss):.4f}")
+            while evals and it + 1 >= evals[0]:
+                eval_hook(evals.pop(0), make_det(params, batch_stats))
+    train_s = time.perf_counter() - t0
+    return make_det(params, batch_stats), train_s
+
+
+def main_cv(args, records, goldens, keypoints):
+    """K-fold cross-validated golden fine-tune: every image held out once,
+    several step budgets scored per fold, aggregate mean +- spread reported,
+    final checkpoint trained on ALL records at the CV-chosen step count."""
+    from facedet_tpu.engine.detector import save_params_npz
+
+    eval_points = sorted({args.steps // 2, args.steps})
+    folds = cv_folds(records, args.cv)
+    fold_rows = []
+    for f, (train_f, held_f) in enumerate(folds):
+        print(f"--- fold {f + 1}/{len(folds)}: "
+              f"{len(train_f)} train / {len(held_f)} held ---")
+        results = {}
+
+        def hook(step_count, det, _held=held_f, _res=results):
+            r = parity_on_split(det, goldens, _held, args.ref_dir,
+                                args.conf, args.iou, keypoints=keypoints)
+            _res[step_count] = {
+                "recall": r["recall"], "precision": r["precision"],
+                "mean_kpt_nme": r.get("mean_kpt_nme"),
+                "kpt_faces_scored": r.get("kpt_faces_scored"),
+            }
+            print(f"  fold {f} @ step {step_count}: "
+                  f"recall {r['recall']:.3f} precision {r['precision']:.3f}")
+
+        _det, train_s = train_yolo(
+            args, train_f, seed=f, eval_points=eval_points, eval_hook=hook
+        )
+        fold_rows.append({"fold": f, "train_seconds": round(train_s, 1),
+                          "held_images": [r["name"] for r in held_f],
+                          "results": results})
+
+    agg = {}
+    for sp in eval_points:
+        recalls = [fr["results"][sp]["recall"] for fr in fold_rows
+                   if sp in fr["results"]]
+        precs = [fr["results"][sp]["precision"] for fr in fold_rows
+                 if sp in fr["results"]]
+        agg[sp] = {
+            "recall_mean": float(np.mean(recalls)),
+            "recall_min": float(np.min(recalls)),
+            "recall_max": float(np.max(recalls)),
+            "precision_mean": float(np.mean(precs)),
+            "precision_min": float(np.min(precs)),
+            "precision_max": float(np.max(precs)),
+        }
+        print(f"CV @ {sp} steps: recall {agg[sp]['recall_mean']:.3f} "
+              f"[{agg[sp]['recall_min']:.3f}-{agg[sp]['recall_max']:.3f}] "
+              f"precision {agg[sp]['precision_mean']:.3f}")
+    best_steps = max(agg, key=lambda sp: agg[sp]["recall_mean"])
+    print(f"CV-chosen step count: {best_steps}")
+
+    # final checkpoint: ALL records at the CV-chosen budget
+    args.steps = best_steps
+    det, train_s = train_yolo(args, records, seed=101)
+    os.makedirs(args.out_dir, exist_ok=True)
+    ckpt = os.path.join(args.out_dir, f"yolo11{args.scale}_golden_cv.npz")
+    save_params_npz(ckpt, det.variables)
+    full = parity_on_split(det, goldens, records, args.ref_dir,
+                           args.conf, args.iou, keypoints=keypoints)
+    report = {
+        "mode": f"{args.cv}-fold CV",
+        "eval_points": eval_points,
+        "folds": fold_rows,
+        "aggregate": {str(k): v for k, v in agg.items()},
+        "cv_chosen_steps": best_steps,
+        "final_checkpoint": ckpt,
+        "final_train_seconds": round(train_s, 1),
+        "final_all_data_parity": {
+            "recall": full["recall"], "precision": full["precision"],
+            "mean_kpt_nme": full.get("mean_kpt_nme"),
+            "mean_kpt_px_err": full.get("mean_kpt_px_err"),
+            "kpt_faces_scored": full.get("kpt_faces_scored"),
+        },
+    }
+    out = os.path.join(args.out_dir, "cv_report.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {out}")
+    return report
 
 
 def main(argv=None):
@@ -211,130 +460,67 @@ def main(argv=None):
     ap.add_argument("--pretrain-steps", type=int, default=0,
                     help="rtdetr: synthetic dense-blob pretrain steps before "
                     "the golden fine-tune (pretrained-init stand-in)")
+    ap.add_argument("--cv", type=int, default=0,
+                    help="K-fold cross-validation: every golden image held "
+                    "out once, step count picked on CV mean, final "
+                    "checkpoint trained on all data (yolo path)")
     args = ap.parse_args(argv)
     if args.model == "rtdetr":
         return main_rtdetr(args)
     if args.lr is None:
         args.lr = 2e-3
 
-    import jax
-    import jax.numpy as jnp
-    import optax
-
-    from facedet_tpu.engine.detector import (
-        YoloV11PoseDetectionModel, save_params_npz,
-    )
-    from facedet_tpu.models.yolov11 import YoloConfig, YoloV11
-    from facedet_tpu.train.yolo_train import make_train_step
+    from facedet_tpu.engine.detector import save_params_npz
     from facedet_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     records = load_golden_dataset(args.goldens, args.ref_dir)
     if not records:
         raise SystemExit(f"no golden source images under {args.ref_dir}")
+
+    with open(args.goldens) as f:
+        goldens = json.load(f)
+    keypoints = None
+    if os.path.exists(KEYPOINTS_PATH):
+        with open(KEYPOINTS_PATH) as f:
+            keypoints = json.load(f)
+
+    if args.cv:
+        return main_cv(args, records, goldens, keypoints)
+
     train_recs, held_recs = split_records(records)
     n_faces = sum(len(r["boxes"]) for r in records)
     print(f"{len(records)} golden images / {n_faces} faces "
           f"({len(train_recs)} train, {len(held_recs)} held out)")
 
-    cfg = YoloConfig(scale=args.scale, num_classes=1, with_pose=True)
-    model = YoloV11(cfg)
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, args.size, args.size, 3)),
-            train=False,
-        )
-    params, batch_stats = variables["params"], variables["batch_stats"]
-    sched = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, min(100, args.steps // 10), args.steps, args.lr * 0.01
-    )
-    tx = optax.chain(optax.clip_by_global_norm(10.0),
-                     optax.adamw(sched, weight_decay=5e-4))
-    opt_state = tx.init(params)
-    step = make_train_step(model, tx)
-
-    rng = np.random.default_rng(0)
-    max_boxes = 64
-    t0 = time.perf_counter()
-    if args.staged:
-        # scan-on-device: stage the whole (augmented-crop) dataset in HBM as
-        # uint8 once, then each dispatch runs steps_per_dispatch optimizer
-        # steps inside one lax.fori_loop with on-device flips — the tunneled
-        # link pays one upload instead of one RTT + 10 MB per step
-        from facedet_tpu.train.yolo_train import make_staged_train_loop
-
-        batches = [
-            sample_batch(train_recs, rng, args.batch, args.size, max_boxes,
-                         mosaic_prob=args.mosaic_prob, jitter=not args.no_jitter)
-            for _ in range(args.staged)
-        ]
-        s_ims = jnp.asarray(np.stack([b[0] for b in batches]))
-        s_bxs = jnp.asarray(np.stack([b[1] for b in batches]))
-        s_mks = jnp.asarray(np.stack([b[2] for b in batches]))
-        s_kps = jnp.zeros((args.staged, args.batch, max_boxes, 5, 3))
-        jax.block_until_ready((s_ims, s_bxs, s_mks))
-        print(f"staged {args.staged} batches "
-              f"({s_ims.nbytes / 1e6:.0f} MB uint8) in "
-              f"{time.perf_counter() - t0:.1f}s")
-        spd = min(args.steps_per_dispatch, args.steps)
-        run = make_staged_train_loop(model, tx, steps_per_dispatch=spd)
-        key = jax.random.PRNGKey(3)
-        done = 0
-        while done < args.steps:
-            key, sub = jax.random.split(key)
-            params, batch_stats, opt_state, mean_loss = run(
-                params, batch_stats, opt_state,
-                s_ims, s_bxs, s_mks, s_kps, done, sub,
-            )
-            done += spd
-            print(f"step {done}: mean loss {float(mean_loss):.4f}")
-    else:
-        kpts = jnp.zeros((args.batch, max_boxes, 5, 3))
-        to_f32 = jax.jit(lambda u: u.astype(jnp.float32) / 255.0)
-        for it in range(args.steps):
-            ims, bxs, mks = sample_batch(
-                train_recs, rng, args.batch, args.size, max_boxes,
-                mosaic_prob=args.mosaic_prob, jitter=not args.no_jitter,
-            )
-            params, batch_stats, opt_state, loss, _ = step(
-                params, batch_stats, opt_state,
-                to_f32(jnp.asarray(ims)), jnp.asarray(bxs), jnp.asarray(mks), kpts,
-            )
-            if it % 100 == 0 or it == args.steps - 1:
-                print(f"step {it}: loss {float(loss):.4f}")
-    train_s = time.perf_counter() - t0
+    det, train_s = train_yolo(args, train_recs)
     print(f"trained {args.steps} steps in {train_s:.1f}s")
 
     os.makedirs(args.out_dir, exist_ok=True)
     ckpt = os.path.join(args.out_dir, f"yolo11{args.scale}_golden.npz")
-    save_params_npz(ckpt, {"params": params, "batch_stats": batch_stats})
+    save_params_npz(ckpt, det.variables)
     print(f"saved {ckpt}")
 
-    det = YoloV11PoseDetectionModel(
-        scale=args.scale, dtype="bfloat16", confidence_threshold=0.25,
-        image_size=args.size, load_at_init=False,
-    )
-    det.cfg = cfg
-    det.model = model
-    det.variables = {"params": params, "batch_stats": batch_stats}
-
-    with open(args.goldens) as f:
-        goldens = json.load(f)
     cap = args.max_parity_images or None
     report = {
         "steps": args.steps, "train_seconds": round(train_s, 1),
         "checkpoint": ckpt,
         "train_split": parity_on_split(
-            det, goldens, train_recs[:cap], args.ref_dir, args.conf, args.iou),
+            det, goldens, train_recs[:cap], args.ref_dir, args.conf, args.iou,
+            keypoints=keypoints),
         "held_out_split": parity_on_split(
-            det, goldens, held_recs[:cap], args.ref_dir, args.conf, args.iou),
+            det, goldens, held_recs[:cap], args.ref_dir, args.conf, args.iou,
+            keypoints=keypoints),
     }
     for split in ("train_split", "held_out_split"):
         r = report[split]
         rec = "n/a" if r["recall"] is None else f"{r['recall']:.3f}"
         prec = "n/a" if r["precision"] is None else f"{r['precision']:.3f}"
+        kpt = (f" kpt_nme {r['mean_kpt_nme']:.3f}"
+               f" ({r['mean_kpt_px_err']:.1f}px, n={r['kpt_faces_scored']})"
+               if "mean_kpt_nme" in r else "")
         print(f"{split}: recall {rec} precision {prec}"
-              f" (conf>={args.conf}, IoU>={args.iou})")
+              f" (conf>={args.conf}, IoU>={args.iou}){kpt}")
     out = os.path.join(args.out_dir, "parity_report.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)

@@ -19,12 +19,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_blob_dataset(n_images: int, size: int = 96, max_boxes: int = 4, seed: int = 0):
-    """Bright ellipse 'faces' on dark textured background + exact GT boxes."""
+# fractional landmark offsets inside a blob of radius r, centered at (cx, cy):
+# [left_eye, right_eye, nose, left_mouth, right_mouth] x (dx/r, dy/r)
+_KPT_OFFSETS = np.array(
+    [[-0.45, -0.35], [0.45, -0.35], [0.0, 0.1], [-0.4, 0.55], [0.4, 0.55]],
+    np.float32,
+)
+
+
+def make_blob_dataset(n_images: int, size: int = 96, max_boxes: int = 4, seed: int = 0,
+                      with_kpts: bool = False):
+    """Bright ellipse 'faces' on dark textured background + exact GT boxes.
+
+    ``with_kpts=True`` additionally stamps 5 dark landmark dots per face at
+    fixed fractional offsets (eyes/nose/mouth layout) and returns their exact
+    positions — the synthetic supervision for the pose-head learning proof
+    (VERDICT r2 #3a)."""
     rng = np.random.default_rng(seed)
     images = np.zeros((n_images, size, size, 3), np.float32)
     boxes = np.zeros((n_images, max_boxes, 4), np.float32)
     masks = np.zeros((n_images, max_boxes), bool)
+    kpts = np.zeros((n_images, max_boxes, 5, 3), np.float32)
     yy, xx = np.mgrid[0:size, 0:size]
     for i in range(n_images):
         img = rng.uniform(0.0, 0.25, (size, size, 3)).astype(np.float32)
@@ -38,8 +53,46 @@ def make_blob_dataset(n_images: int, size: int = 96, max_boxes: int = 4, seed: i
             img[m] = color
             boxes[i, j] = [cx - r, cy - r, cx + r, cy + r]
             masks[i, j] = True
+            if with_kpts:
+                pts = np.array([cx, cy], np.float32) + _KPT_OFFSETS * r
+                dot_r2 = max(1.0, r / 6.0) ** 2
+                for (px, py), shade in zip(
+                    pts, ([0.1, 0.1, 0.4], [0.1, 0.4, 0.1], [0.4, 0.1, 0.1],
+                          [0.35, 0.35, 0.05], [0.35, 0.05, 0.35])
+                ):
+                    dm = ((yy - py) ** 2 + (xx - px) ** 2) <= dot_r2
+                    img[dm] = shade
+                kpts[i, j, :, :2] = pts
+                kpts[i, j, :, 2] = 1.0
         images[i] = img
+    if with_kpts:
+        return images, boxes, masks, kpts
     return images, boxes, masks
+
+
+def _kpt_pixel_error(det_model, val_images, val_boxes, val_masks, val_kpts):
+    """Mean landmark pixel error over val faces whose box is recovered
+    (IoU>0.5 best match), plus the match count."""
+    from facedet_tpu.core.boxes import iou_matrix
+
+    errs = []
+    for i in range(len(val_images)):
+        det_model.perform_inference((val_images[i] * 255).astype(np.uint8))
+        preds = det_model.object_prediction_list
+        gt_b = val_boxes[i][val_masks[i]]
+        gt_k = val_kpts[i][val_masks[i]]
+        if not len(preds) or not len(gt_b):
+            continue
+        p_b = np.array([p.bbox.to_xyxy() for p in preds], np.float32)
+        iou = np.asarray(iou_matrix(gt_b, p_b))
+        for g in range(len(gt_b)):
+            p = int(np.argmax(iou[g]))
+            if iou[g, p] < 0.5 or preds[p].keypoints is None:
+                continue
+            pk = np.asarray(preds[p].keypoints, np.float32).reshape(-1, 3)
+            d = np.linalg.norm(pk[:, :2] - gt_k[g][:, :2], axis=1)
+            errs.append(float(d.mean()))
+    return (float(np.mean(errs)) if errs else None), len(errs)
 
 
 def main(argv=None):
@@ -53,6 +106,10 @@ def main(argv=None):
                     help="rtdetr contrastive-denoising groups (0 = off)")
     ap.add_argument("--variant", default="rtdetr-tiny",
                     help="RTDETR_VARIANTS key for --model rtdetr")
+    ap.add_argument("--kpts", action="store_true",
+                    help="stamp synthetic 5-landmark dots on the blobs, train "
+                    "with keypoint supervision, and report landmark pixel "
+                    "error before/after (pose-head learning proof)")
     args = ap.parse_args(argv)
     if args.model == "rtdetr":
         return main_rtdetr(args)
@@ -64,8 +121,17 @@ def main(argv=None):
     from facedet_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    images, boxes, masks = make_blob_dataset(64, args.size)
-    val_images, val_boxes, val_masks = make_blob_dataset(16, args.size, seed=99)
+    if args.kpts:
+        images, boxes, masks, gt_kpts = make_blob_dataset(
+            64, args.size, with_kpts=True
+        )
+        val_images, val_boxes, val_masks, val_kpts = make_blob_dataset(
+            16, args.size, seed=99, with_kpts=True
+        )
+    else:
+        images, boxes, masks = make_blob_dataset(64, args.size)
+        val_images, val_boxes, val_masks = make_blob_dataset(16, args.size, seed=99)
+        gt_kpts = val_kpts = None
     val_dataset = [
         {
             "image_id": i,
@@ -103,12 +169,22 @@ def main(argv=None):
 
     before = validate_detector(detector_of(params, batch_stats), val_dataset, val_loader)
     print(f"mAP50 before training: {before['map50']:.4f}")
+    kerr_before = n_before = None
+    if args.kpts:
+        kerr_before, n_before = _kpt_pixel_error(
+            detector_of(params, batch_stats), val_images, val_boxes,
+            val_masks, val_kpts,
+        )
+        print(f"kpt pixel error before: {kerr_before} (n={n_before})")
 
     rng = np.random.default_rng(1)
-    kpts = jnp.zeros((args.batch, boxes.shape[1], 5, 3))
     t0 = time.perf_counter()
     for it in range(args.steps):
         idx = rng.integers(0, len(images), args.batch)
+        kpts = (
+            jnp.asarray(gt_kpts[idx]) if args.kpts
+            else jnp.zeros((args.batch, boxes.shape[1], 5, 3))
+        )
         params, batch_stats, opt_state, loss, parts = step(
             params, batch_stats, opt_state,
             jnp.asarray(images[idx]), jnp.asarray(boxes[idx]),
@@ -120,7 +196,17 @@ def main(argv=None):
 
     after = validate_detector(detector_of(params, batch_stats), val_dataset, val_loader)
     print(f"mAP50 after training: {after['map50']:.4f} (map {after['map']:.4f})")
-    return {"before": before, "after": after}
+    out = {"before": before, "after": after}
+    if args.kpts:
+        kerr_after, n_after = _kpt_pixel_error(
+            detector_of(params, batch_stats), val_images, val_boxes,
+            val_masks, val_kpts,
+        )
+        print(f"kpt pixel error after: {kerr_after} (n={n_after})")
+        out["kpt_px_err_before"] = kerr_before
+        out["kpt_px_err_after"] = kerr_after
+        out["kpt_faces_scored"] = n_after
+    return out
 
 
 def main_rtdetr(args):

@@ -68,9 +68,10 @@ def test_sample_crop_shapes_and_ranges():
     rec = _fake_record()
     rng = np.random.default_rng(1)
     for _ in range(10):
-        img, boxes, mask = sample_crop(rec, rng, out=320, max_boxes=16)
+        img, boxes, mask, kpts = sample_crop(rec, rng, out=320, max_boxes=16)
         assert img.shape == (320, 320, 3) and img.dtype == np.uint8
         assert boxes.shape == (16, 4) and mask.shape == (16,)
+        assert kpts.shape == (16, 5, 3)
         live = boxes[mask]
         # anchored sampling guarantees the anchor face is mostly in-window
         assert mask.sum() >= 1
@@ -80,10 +81,11 @@ def test_sample_crop_shapes_and_ranges():
 
 def test_sample_batch_stacks():
     recs = [_fake_record(seed=i) for i in range(3)]
-    ims, bxs, mks = sample_batch(recs, np.random.default_rng(0), batch=4, out=256,
-                                 max_boxes=8)
+    ims, bxs, mks, kps = sample_batch(recs, np.random.default_rng(0), batch=4,
+                                      out=256, max_boxes=8)
     assert ims.shape == (4, 256, 256, 3)
     assert bxs.shape == (4, 8, 4) and mks.shape == (4, 8)
+    assert kps.shape == (4, 8, 5, 3)
 
 
 def test_split_records_disjoint_deterministic():
@@ -155,9 +157,9 @@ def test_main_smoke(tmp_path):
 @pytest.mark.skipif(not HAVE_REF, reason="reference artifacts not present")
 def test_load_golden_dataset_real():
     records = load_golden_dataset(GOLDENS_PATH, REF_DIR)
-    assert len(records) == 16
+    assert len(records) == 20  # round-3 unbounded mining
     total = sum(len(r["boxes"]) for r in records)
-    assert total == 201
+    assert total == 370  # conf>=0.2 training faces (of 1170 recovered)
     for r in records:
         h, w = r["image"].shape[:2]
         assert r["image"].dtype == np.uint8
@@ -182,10 +184,10 @@ def test_official_eval_layout(tmp_path):
         goldens, REF_DIR, str(tmp_path)
     )
     parsed = parse_wider_gt_txt(gt_txt)
-    assert len(parsed) == 16
-    assert sum(len(v) for v in parsed.values()) == 201
+    assert len(parsed) == 20
+    assert sum(len(v) for v in parsed.values()) == 1170
     jpgs = os.listdir(os.path.join(images_path, "golden"))
-    assert len(jpgs) == 16
+    assert len(jpgs) == 20
     for key in parsed:
         event, stem = key.split("/", 1)
         assert event == "golden"
@@ -201,7 +203,7 @@ def test_sample_mosaic_and_jitter():
 
     recs = [_fake_record(seed=i) for i in range(3)]
     rng = np.random.default_rng(2)
-    img, boxes, mask = sample_mosaic(recs, rng, out=320, max_boxes=32)
+    img, boxes, mask, _kpts = sample_mosaic(recs, rng, out=320, max_boxes=32)
     assert img.shape == (320, 320, 3) and img.dtype == np.uint8
     live = boxes[mask]
     assert mask.sum() >= 1
@@ -210,8 +212,8 @@ def test_sample_mosaic_and_jitter():
     # quadrant boxes must stay inside their quadrant after the shift
     j = _photometric_jitter(img, rng)
     assert j.shape == img.shape and j.dtype == np.uint8
-    ims, bxs, mks = sample_batch(recs, rng, batch=4, out=256, max_boxes=8,
-                                 mosaic_prob=1.0, jitter=True)
+    ims, bxs, mks, _ = sample_batch(recs, rng, batch=4, out=256, max_boxes=8,
+                                    mosaic_prob=1.0, jitter=True)
     assert ims.shape == (4, 256, 256, 3)
     for b, m in zip(bxs, mks):
         lv = b[m]

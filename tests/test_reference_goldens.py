@@ -157,7 +157,9 @@ def test_committed_goldens_asset_is_wellformed():
         for face in im["faces"]:
             x1, y1, x2, y2 = face["bbox"]
             assert 0 <= x1 < x2 <= w and 0 <= y1 < y2 <= h, (name, face)
-            assert 0.0 < face["conf_lo"] <= face["conf_hi"] <= 1.0
+            # conf 0.00 is legitimate: the parade dirs came from a conf-0.01
+            # eval run whose crop names round scores to 2 decimals
+            assert 0.0 <= face["conf_lo"] <= face["conf_hi"] <= 1.0
             assert face["ncc"] >= 0.85
             total += 1
     assert total >= 150
