@@ -266,17 +266,39 @@ def topiq_face(image: np.ndarray, model_path: Optional[str] = None) -> float:
     column, ``hasil eval niqe.txt:4`` — pyiqa's ``topiq_nr-face``).
 
     TOPIQ is a *trained* transformer IQA whose GFIQA weights cannot be
-    re-derived from code. Two modes:
+    re-derived from code. Three modes, preferred in order:
 
-      * ``model_path`` given: an exported TOPIQ ``.onnx`` runs through
-        models/onnx_import.py (export offline with
-        ``torch.onnx.export(pyiqa.create_metric('topiq_nr-face').net, ...)``)
-        — true TOPIQ-Face scores.
+      * ``model_path`` ending ``.pt``/``.pth``/``.npz``: the NATIVE CFANet
+        implementation (models/topiq.py — ResNet50 + cross-scale attention)
+        with converted weights (``convert_topiq_torch`` for torch
+        state_dicts re-keyed to the documented layout) — true TOPIQ-Face
+        scores on the TPU path.
+      * ``model_path`` ending ``.onnx``: an exported TOPIQ graph through
+        models/onnx_import.py.
       * no weights (this environment): a documented PROXY — the frozen
         BRISQUE SVR mapped to [0, 1] (quality = 1 - brisque/100). Orderings
         (enhanced > degraded) match TOPIQ's published behaviour; absolute
         values are proxy-calibrated, not GFIQA-calibrated.
     """
+    if model_path and str(model_path).endswith((".pt", ".pth", ".npz")):
+        from facedet_tpu.models.topiq import (
+            CFANet, TopiqConfig, convert_topiq_torch, topiq_score,
+        )
+
+        if str(model_path).endswith(".npz"):
+            from facedet_tpu.engine.detector import load_params_npz
+
+            variables = load_params_npz(model_path)
+        else:
+            import torch
+
+            sd = torch.load(model_path, map_location="cpu", weights_only=True)
+            variables = convert_topiq_torch(sd)
+        model = CFANet(TopiqConfig())
+        img = np.asarray(image)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, -1)
+        return float(topiq_score(model, variables, img))
     if model_path:
         import jax.numpy as jnp
 
