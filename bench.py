@@ -34,6 +34,10 @@ import time
 _PROGRESS = {"ips": 0.0, "p50": None, "complete": False, "extras": {}}
 
 # Measured with `python bench.py --cpu` on this host (see module docstring).
+# The CPU reference keeps the CPU-OPTIMAL ingest (yuv420, 0.26 img/s): the
+# round-3 dct420 ingest trades host-cheap bytes for device matmuls and runs
+# 0.17 img/s on CPU — dividing by the slower same-ingest number would
+# inflate the multiplier through an ingest choice made for the TPU link.
 CPU_REFERENCE_IPS = 0.26
 BASELINE_KIND = "same_pipeline_jax_cpu_this_host"
 

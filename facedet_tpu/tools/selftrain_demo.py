@@ -78,6 +78,7 @@ def _kpt_pixel_error(det_model, val_images, val_boxes, val_masks, val_kpts):
     errs = []
     for i in range(len(val_images)):
         det_model.perform_inference((val_images[i] * 255).astype(np.uint8))
+        det_model.convert_original_predictions()
         preds = det_model.object_prediction_list
         gt_b = val_boxes[i][val_masks[i]]
         gt_k = val_kpts[i][val_masks[i]]
