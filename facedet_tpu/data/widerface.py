@@ -115,6 +115,23 @@ def gt_txt_to_prediction_structures(
     return events
 
 
+def gt_txt_to_keep_lists(
+    annotations: dict[str, list[FaceAnnotation]]
+) -> dict:
+    """1-based keep-index lists (the .mat ``gt_list`` analog) from the txt
+    GT's ``invalid`` flag: faces marked invalid==1 become ignore regions —
+    the official matcher (eval/eval_official_widerface.py:214-249 semantics)
+    neither rewards nor penalises detections on them and excludes them from
+    the recall denominator."""
+    keeps: dict[str, dict[str, np.ndarray]] = {}
+    for img_path, faces in annotations.items():
+        event = img_path.split("/")[0]
+        name = os.path.splitext(os.path.basename(img_path))[0]
+        idx = np.array([i + 1 for i, f in enumerate(faces) if not f.invalid], int)
+        keeps.setdefault(event, {})[name] = idx
+    return keeps
+
+
 def convert_widerface_to_yolo(
     gt_txt: str,
     images_dir: str,

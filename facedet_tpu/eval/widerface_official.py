@@ -206,12 +206,17 @@ class OfficialWiderFaceEvaluator:
             self.gt = self._mat_to_dicts(load_official_mat_gt(gt_path))
         elif gt_txt is not None:
             from facedet_tpu.data.widerface import (
+                gt_txt_to_keep_lists,
                 gt_txt_to_prediction_structures,
                 parse_wider_gt_txt,
             )
 
-            boxes = gt_txt_to_prediction_structures(parse_wider_gt_txt(gt_txt))
-            self.gt = {"facebox_list": boxes, "setting_gts": {"all": None}}
+            ann = parse_wider_gt_txt(gt_txt)
+            boxes = gt_txt_to_prediction_structures(ann)
+            # honour the txt's invalid flag through the keep list; when no
+            # face is marked invalid this is identical to keep=None (all GT)
+            keep = gt_txt_to_keep_lists(ann)
+            self.gt = {"facebox_list": boxes, "setting_gts": {"all": keep}}
 
     def _build_mode_string(self) -> str:
         parts = []

@@ -27,9 +27,17 @@ from facedet_tpu.tools.golden_finetune import GOLDENS_PATH, REF_DIR
 EVENT = "golden"
 
 
-def build_widerface_layout(goldens: dict, ref_dir: str, work_dir: str) -> tuple[str, str]:
+def build_widerface_layout(goldens: dict, ref_dir: str, work_dir: str,
+                           min_conf: float = 0.2) -> tuple[str, str]:
     """Copy golden source JPEGs into ``<work>/images/golden/`` and write the
-    bbx_gt-format ground-truth txt; returns (images_path, gt_txt_path)."""
+    bbx_gt-format ground-truth txt; returns (images_path, gt_txt_path).
+
+    Golden faces whose recorded confidence tops out below ``min_conf`` are
+    written with invalid=1 (the official ignore flag): the dense parade dirs
+    were produced by a conf-0.01 eval sweep, so most of their "faces" are the
+    reference's own sub-threshold dust, not operating-point detections —
+    matching them is neither rewarded nor penalised (same filter as
+    tools/golden_finetune.py::load_golden_dataset)."""
     images_dir = os.path.join(work_dir, "images", EVENT)
     os.makedirs(images_dir, exist_ok=True)
     lines = []
@@ -48,8 +56,9 @@ def build_widerface_layout(goldens: dict, ref_dir: str, work_dir: str) -> tuple[
         for f in rec["faces"]:
             x1, y1, x2, y2 = f["bbox"]
             # bbx_gt columns: x y w h blur expression illumination invalid
-            # occlusion pose — zeros mean "clean, valid" (nothing ignored)
-            lines.append(f"{x1} {y1} {x2 - x1} {y2 - y1} 0 0 0 0 0 0")
+            # occlusion pose — invalid=1 marks ignore regions
+            inv = int(float(f.get("conf_hi", 1.0)) < min_conf)
+            lines.append(f"{x1} {y1} {x2 - x1} {y2 - y1} 0 0 0 {inv} 0 0")
         n_img += 1
     gt_txt = os.path.join(work_dir, "golden_bbx_gt.txt")
     with open(gt_txt, "w") as fh:
@@ -70,6 +79,9 @@ def main(argv=None):
     ap.add_argument("--work-dir", default="runs/golden_official_eval")
     ap.add_argument("--modes", default="standard,sahi",
                     help="comma list of: standard, sahi")
+    ap.add_argument("--min-conf", type=float, default=0.2,
+                    help="golden faces below this recorded confidence are "
+                    "written as invalid=1 (official ignore regions)")
     args = ap.parse_args(argv)
 
     from facedet_tpu.engine.detector import YoloV11PoseDetectionModel
@@ -80,7 +92,7 @@ def main(argv=None):
     with open(args.goldens) as f:
         goldens = json.load(f)
     images_path, gt_txt = build_widerface_layout(
-        goldens, args.ref_dir, args.work_dir
+        goldens, args.ref_dir, args.work_dir, min_conf=args.min_conf
     )
 
     model = YoloV11PoseDetectionModel(

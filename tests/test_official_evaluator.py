@@ -150,3 +150,71 @@ def test_recompile_storm_rehearsal_eval_scale(tmp_path):
     assert compiles <= len(buckets), (compiles, len(buckets), sorted(buckets))
     # and the bucket count itself stays tiny vs 300 unique-ish resolutions
     assert len(buckets) <= 12, sorted(buckets)
+
+
+def test_invalid_flag_faces_are_ignore_regions(tmp_path):
+    """GT faces written with invalid=1 (e.g. the reference's conf-0.01 eval
+    dust in tools/golden_official_eval.py) are official ignore regions: a
+    model that never finds them still scores AP 1.0, and detections landing
+    on them are not counted as false positives."""
+    from facedet_tpu.data.widerface import (
+        gt_txt_to_keep_lists,
+        parse_wider_gt_txt,
+    )
+
+    dots = [(30, 40)]
+    img = make_image(100, 120, dots)
+    # one real (detectable) face + one invalid box in a dark corner the fake
+    # blob model can never fire on
+    gt_txt = tmp_path / "gt.txt"
+    gt_txt.write_text(
+        "ev/img1.jpg\n2\n35 25 10 10 0 0 0 0 0 0\n90 80 8 8 0 0 0 1 0 0\n"
+    )
+    keeps = gt_txt_to_keep_lists(parse_wider_gt_txt(str(gt_txt)))
+    np.testing.assert_array_equal(keeps["ev"]["img1"], [1])
+
+    model = FakeBlobDetectionModel(confidence_threshold=0.5, image_size=64)
+    ev = OfficialWiderFaceEvaluator(
+        model,
+        images_path=str(tmp_path / "imgs"),
+        gt_txt=str(gt_txt),
+        use_sahi=True,
+        sahi_config={"slice_height": 64, "slice_width": 64, "overlap_ratio": 0.2},
+        inference_confidence=0.4,
+        output_dir=str(tmp_path / "out"),
+        image_loader=lambda path: img,
+        perform_standard_pred=False,
+    )
+    results = ev.run(save=False)
+    assert results["aps"]["all"] == 1.0, results["aps"]
+
+
+def test_golden_layout_marks_subthreshold_faces_invalid(tmp_path):
+    """build_widerface_layout writes invalid=1 for golden faces whose
+    recorded confidence tops out below min_conf."""
+    import PIL.Image
+
+    from facedet_tpu.tools.golden_official_eval import build_widerface_layout
+
+    ref = tmp_path / "ref" / "dir_a"
+    ref.mkdir(parents=True)
+    PIL.Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(
+        ref / "temp_sahi_input.jpg"
+    )
+    goldens = {
+        "images": {
+            "dir_a": {
+                "faces": [
+                    {"bbox": [1, 1, 9, 9], "conf_lo": 0.6, "conf_hi": 0.8},
+                    {"bbox": [12, 12, 18, 18], "conf_lo": 0.01, "conf_hi": 0.01},
+                ]
+            }
+        }
+    }
+    _, gt_txt = build_widerface_layout(
+        goldens, str(tmp_path / "ref"), str(tmp_path / "work"), min_conf=0.2
+    )
+    lines = open(gt_txt).read().splitlines()
+    assert lines[1] == "2"
+    assert lines[2].split()[7] == "0"  # valid face
+    assert lines[3].split()[7] == "1"  # conf-0.01 dust -> ignore region
