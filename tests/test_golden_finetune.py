@@ -218,3 +218,27 @@ def test_sample_mosaic_and_jitter():
     for b, m in zip(bxs, mks):
         lv = b[m]
         assert (lv >= 0).all() and (lv <= 256).all()
+
+
+def test_teacher_label_crops_shapes_and_topk():
+    """The distillation labeller (VERDICT r2 #10) returns fixed-capacity
+    pixel-xyxy boxes + mask, keeping the top-scoring detections per crop.
+    Uses the committed golden checkpoint at conf 0: every crop fills to
+    max_boxes; at conf 0.99 random-ish crops yield none."""
+    from facedet_tpu.tools.golden_finetune import teacher_label_crops
+
+    rng = np.random.default_rng(0)
+    crops = rng.integers(0, 255, (3, 64, 64, 3), np.uint8)
+    boxes, mask = teacher_label_crops(
+        crops, GOLDEN_CKPT, conf=0.0, max_boxes=5, fwd_batch=2
+    )
+    assert boxes.shape == (3, 5, 4) and mask.shape == (3, 5)
+    assert mask.all()  # conf 0 always fills the capacity
+    assert (boxes[mask][:, 2:] >= boxes[mask][:, :2] - 1e-3).all()
+    # decode doesn't clamp to the tile; boxes stay near the 64px crop
+    assert boxes[mask].max() <= 64.0 * 1.25
+
+    b2, m2 = teacher_label_crops(
+        crops, GOLDEN_CKPT, conf=0.99, max_boxes=5, fwd_batch=4
+    )
+    assert not m2.any() and (b2 == 0).all()
