@@ -19,8 +19,13 @@ def process_single_image(
     slice_size: int = 640,
     overlap: float = 0.2,
     postprocess_match_threshold: float = 0.5,
+    ingest: str = "rgb",
 ) -> dict:
-    """Reference app_yolo_sahi.py:19 — one image -> output folder."""
+    """Reference app_yolo_sahi.py:19 — one image -> output folder.
+
+    ``ingest`` picks the host->device upload format: "yuv420" decodes via the
+    native raw-data path (1.5 B/px), "dct420" ships the JPEG's own quantized
+    coefficients (native jpeg_read_coefficients; IDCT on the MXU)."""
     from facedet_tpu.engine.predict import get_sliced_prediction
     from facedet_tpu.utils.viz import (
         create_detection_summary,
@@ -33,7 +38,16 @@ def process_single_image(
     name = os.path.splitext(os.path.basename(image_path))[0]
     out_dir = os.path.join(output_root, name)
     os.makedirs(out_dir, exist_ok=True)
-    image = load_image(image_path)
+    if ingest == "yuv420":
+        from facedet_tpu.data.native_loader import load_image_yuv420
+
+        image = load_image_yuv420(image_path)
+    elif ingest == "dct420":
+        from facedet_tpu.data.native_loader import load_image_dct420
+
+        image = load_image_dct420(image_path)
+    else:
+        image = load_image(image_path)
     t0 = time.perf_counter()
     result = get_sliced_prediction(
         image,
@@ -46,9 +60,11 @@ def process_single_image(
         postprocess_match_metric="IOS",
         postprocess_match_threshold=postprocess_match_threshold,
         postprocess_class_agnostic=True,
+        input_format=ingest if ingest != "rgb" else "rgb",
     )
     elapsed = time.perf_counter() - t0
     preds = result.object_prediction_list
+    image = result.image  # RGB view (reconstructed for yuv/dct ingest)
     vis = draw_detections_on_image(image, preds)
     save_image(os.path.join(out_dir, f"{name}_detections.jpg"), vis)
     crops = save_face_crops(image, preds, os.path.join(out_dir, "crops"), prefix=f"{name}_face")
@@ -82,7 +98,10 @@ def main(argv=None):
     )
     stats = []
     for path in inputs:
-        s = process_single_image(path, model, args.output, args.slice, args.overlap)
+        s = process_single_image(
+            path, model, args.output, args.slice, args.overlap,
+            ingest=args.ingest,
+        )
         print(f"{s['image']}: {s['faces']} faces in {s['seconds']:.2f}s")
         stats.append(s)
     total = sum(s["faces"] for s in stats)

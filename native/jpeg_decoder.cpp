@@ -161,4 +161,126 @@ int jpeg_decode_yuv420(const char* path, unsigned char* y, unsigned char* cb,
   return 0;
 }
 
+// Read a 4:2:0 YCbCr JPEG's *quantized DCT coefficients* without any IDCT —
+// libjpeg's jpeg_read_coefficients transcoding path. This is the zero-loss
+// source for the engine's entropy-domain ingest (facedet_tpu/ops/jpeg_dct.py,
+// input_format="dct420"): the coefficients the file stores go straight to the
+// device, where dequant + IDCT run as MXU matmuls. Skips the host IDCT the
+// RGB/YUV paths pay, and uploads ~97%-zero int8 AC planes the link compressor
+// likes (BENCH.md round-3 ingest study).
+//
+// Output layout matches ops/jpeg_dct.py's DctImage (all row-major, blocks in
+// natural order — libjpeg de-zigzags during entropy decode):
+//   y_dc  [yb_h, yb_w]         int16   (DC, exact)
+//   y_ac  [yb_h, yb_w, 64]     int8    (AC clipped to +-127, slot 0 zeroed)
+//   uv_dc [yb_h/2, yb_w/2, 2]  int16   (Cb=0, Cr=1)
+//   uv_ac [yb_h/2, yb_w/2, 2, 64] int8
+//   qy/qc [64]                 uint16  (natural order, per-file tables)
+// yb_h/yb_w = MCU-padded luma block dims = ceil(dim/16)*16/8. Caller zero-fills
+// the buffers; file blocks are written, dummy MCU-padding blocks stay zero.
+// Returns 0 on success, -4 if not plain 4:2:0 YCbCr or Cb/Cr tables differ
+// (caller falls back to RGB decode + host re-encode).
+int jpeg_read_dct420(const char* path, short* y_dc, signed char* y_ac,
+                     short* uv_dc, signed char* uv_ac, unsigned short* qy,
+                     unsigned short* qc, int yb_h, int yb_w) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  jpeg_decompress_struct cinfo;
+  ErrorCtx err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = on_error;
+  if (setjmp(err.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  const bool is420 =
+      cinfo.jpeg_color_space == JCS_YCbCr && cinfo.num_components == 3 &&
+      cinfo.comp_info[0].h_samp_factor == 2 &&
+      cinfo.comp_info[0].v_samp_factor == 2 &&
+      cinfo.comp_info[1].h_samp_factor == 1 &&
+      cinfo.comp_info[1].v_samp_factor == 1 &&
+      cinfo.comp_info[2].h_samp_factor == 1 &&
+      cinfo.comp_info[2].v_samp_factor == 1;
+  if (!is420) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return -4;
+  }
+  jvirt_barray_ptr* coefs = jpeg_read_coefficients(&cinfo);
+  if (!coefs) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return -5;
+  }
+  JQUANT_TBL* qt[3];
+  for (int ci = 0; ci < 3; ++ci) {
+    qt[ci] = cinfo.comp_info[ci].quant_table;
+    if (!qt[ci]) {
+      int n = cinfo.comp_info[ci].quant_tbl_no;
+      qt[ci] = (n >= 0 && n < NUM_QUANT_TBLS) ? cinfo.quant_tbl_ptrs[n] : nullptr;
+    }
+    if (!qt[ci]) {
+      jpeg_destroy_decompress(&cinfo);
+      std::fclose(f);
+      return -4;
+    }
+  }
+  for (int k = 0; k < 64; ++k) {
+    // DctImage carries a single chroma table; mixed-table files fall back.
+    if (qt[1]->quantval[k] != qt[2]->quantval[k]) {
+      jpeg_destroy_decompress(&cinfo);
+      std::fclose(f);
+      return -4;
+    }
+    qy[k] = qt[0]->quantval[k];
+    qc[k] = qt[1]->quantval[k];
+  }
+  const int cb_h = yb_h / 2, cb_w = yb_w / 2;
+  for (int ci = 0; ci < 3; ++ci) {
+    jpeg_component_info* comp = &cinfo.comp_info[ci];
+    const int samp = comp->v_samp_factor;  // 2 for Y, 1 for chroma
+    const long rows_alloc =
+        ((comp->height_in_blocks + samp - 1) / samp) * samp;
+    const long cols_alloc =
+        ((comp->width_in_blocks + comp->h_samp_factor - 1) /
+         comp->h_samp_factor) * comp->h_samp_factor;
+    const long out_rows = (ci == 0) ? yb_h : cb_h;
+    const long out_cols = (ci == 0) ? yb_w : cb_w;
+    const long nr = rows_alloc < out_rows ? rows_alloc : out_rows;
+    const long nc = cols_alloc < out_cols ? cols_alloc : out_cols;
+    for (long row = 0; row < nr; ++row) {
+      JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+          reinterpret_cast<j_common_ptr>(&cinfo), coefs[ci],
+          static_cast<JDIMENSION>(row), 1, FALSE);
+      for (long col = 0; col < nc; ++col) {
+        const JCOEF* blk = rows[0][col];
+        if (ci == 0) {
+          y_dc[row * yb_w + col] = blk[0];
+          signed char* ac = y_ac + (row * yb_w + col) * 64;
+          for (int k = 1; k < 64; ++k) {
+            int v = blk[k];
+            ac[k] = static_cast<signed char>(v > 127 ? 127 : (v < -127 ? -127 : v));
+          }
+        } else {
+          const long base = (row * cb_w + col) * 2 + (ci - 1);
+          uv_dc[base] = blk[0];
+          signed char* ac = uv_ac + base * 64;
+          for (int k = 1; k < 64; ++k) {
+            int v = blk[k];
+            ac[k] = static_cast<signed char>(v > 127 ? 127 : (v < -127 ? -127 : v));
+          }
+        }
+      }
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  return 0;
+}
+
 }  // extern "C"

@@ -43,6 +43,24 @@ def test_app_yolo_sahi_batch(input_dir, tmp_path, monkeypatch):
     assert len(list((d / "crops").iterdir())) == 2
 
 
+@pytest.mark.parametrize("ingest", ["yuv420", "dct420"])
+def test_app_yolo_sahi_ingest_formats(input_dir, tmp_path, ingest):
+    """--ingest drives the low-bandwidth upload paths end-to-end from a real
+    JPEG file (native loaders -> fused pipeline -> reconstructed RGB viz)."""
+    from facedet_tpu.apps import app_yolo_sahi
+
+    model = FakeBlobDetectionModel(confidence_threshold=0.5)
+    out_root = tmp_path / f"out_{ingest}"
+    s = app_yolo_sahi.process_single_image(
+        str(input_dir / "two.jpg"), model, str(out_root),
+        slice_size=64, overlap=0.25, ingest=ingest,
+    )
+    assert s["faces"] == 2
+    d = out_root / "two"
+    assert (d / "two_detections.jpg").exists()
+    assert len(list((d / "crops").iterdir())) == 2
+
+
 def test_detect_first_pipeline_with_enhancer(tmp_path):
     from facedet_tpu.engine.pipelines import detect_first_pipeline
 

@@ -122,3 +122,57 @@ def test_bytes_accounting():
     b = dct420_bytes(1024, 1536)
     assert b == 1024 * 1536 * 66 // 64 + (1024 // 16) * (1536 // 16) * 2 * 66
     assert b < 1024 * 1536 * 3  # well under the RGB canvas
+
+
+def test_native_file_coefficients_match_libjpeg_decode(tmp_path):
+    """load_image_dct420 reads the file's stored coefficients via libjpeg's
+    jpeg_read_coefficients (native/jpeg_decoder.cpp::jpeg_read_dct420);
+    decoding them with this module's float IDCT must match libjpeg's own
+    pixel decode (raw-data YUV path, same file) to IDCT rounding (+-1)."""
+    from PIL import Image
+
+    from facedet_tpu.data.native_loader import (
+        load_image_dct420,
+        load_image_yuv420,
+    )
+
+    img = natural_image(97, 133, seed=3)
+    path = str(tmp_path / "f.jpg")
+    Image.fromarray(img).save(path, quality=90, subsampling=2)  # 4:2:0
+
+    d = load_image_dct420(path)
+    assert isinstance(d, DctImage) and d.hw == (97, 133)
+    assert d.y_dc.shape == (14, 18)  # ceil(97/16)*2, ceil(133/16)*2
+    # PIL writes IJG q90 tables -> must round-trip exactly
+    qy, qc = quality_tables(90)
+    np.testing.assert_array_equal(d.qy, qy)
+    np.testing.assert_array_equal(d.qc, qc)
+    assert np.all(d.y_ac[..., 0] == 0)  # DC slot zeroed in AC planes
+
+    ref = load_image_yuv420(path)
+    assert isinstance(ref, tuple)  # native 4:2:0 raw decode available
+    y, uv = decode_dct420_np(d)
+    h, w = d.hw
+    dy = np.abs(y[:h, :w].astype(int) - ref[0].astype(int))
+    duv = np.abs(
+        uv[: (h + 1) // 2, : (w + 1) // 2].astype(int) - ref[1].astype(int)
+    )
+    assert dy.max() <= 2 and dy.mean() < 0.2
+    assert duv.max() <= 2 and duv.mean() < 0.2
+
+
+def test_native_file_coefficients_fallback_non420(tmp_path):
+    """Non-4:2:0 files (PIL subsampling=0) take the documented fallback:
+    RGB decode + encode_dct420, still producing a usable DctImage."""
+    from PIL import Image
+
+    from facedet_tpu.data.native_loader import load_image_dct420
+
+    img = natural_image(64, 80, seed=5)
+    path = str(tmp_path / "f444.jpg")
+    Image.fromarray(img).save(path, quality=95, subsampling=0)
+    d = load_image_dct420(path)
+    assert isinstance(d, DctImage) and d.hw == (64, 80)
+    y, uv = decode_dct420_np(d)
+    yy, _ = rgb_to_yuv420(img)
+    assert np.abs(y[:64, :80].astype(int) - yy.astype(int)).mean() < 6.0
