@@ -145,19 +145,21 @@ def _wall_breakdown(model, planes, cfg, bsz: int, rounds: int = 3):
 
     imgs = [planes] * bsz
     fmt = opts["input_format"]
-    pad = P._pad_dct_planes if fmt == "dct420" else P._pad_yuv_planes
     samples = {"host_stack_s": [], "upload_s": [], "dispatch_fetch_s": []}
     warm = True
     for _ in range(rounds + 1):
         t0 = time.perf_counter()
-        pl = [pad(im, bucket_h, bucket_w) for im in imgs]
-        batch_np = tuple(np.stack([p[i] for p in pl]) for i in range(len(pl[0])))
+        # the production single-copy staging path (engine/predict.py) —
+        # the breakdown times exactly what serving pays, for any ingest fmt
+        staged = P._stage_batch_host(imgs, fmt, bucket_h, bucket_w)
+        batch_np = staged if isinstance(staged, tuple) else (staged,)
         t1 = time.perf_counter()
         batch_dev = tuple(jnp.asarray(b) for b in batch_np)
         for b in batch_dev:
             float(touch(b.ravel()))
         t2 = time.perf_counter()
-        jax.device_get(fused(model.variables, batch_dev, offsets_d, valid_d, true_hw))
+        batch_arg = batch_dev if isinstance(staged, tuple) else batch_dev[0]
+        jax.device_get(fused(model.variables, batch_arg, offsets_d, valid_d, true_hw))
         t3 = time.perf_counter()
         if warm:  # first cycle pays compile; discard
             warm = False

@@ -343,6 +343,57 @@ def _pad_dct_planes(img, bucket_h: int, bucket_w: int):
     return y_dc, y_ac, uv_dc, uv_ac, img.qy, img.qc
 
 
+def _stage_batch_host(imgs: list, input_format: str, bucket_h: int, bucket_w: int):
+    """Same-size image batch -> host numpy batch in upload layout.
+
+    Single-copy staging: each image's planes are written straight into
+    preallocated batch buffers (a pad-then-stack pays a second full memcpy —
+    measured ~13 ms/image at batch 64 on the bench host), for all three
+    ingest formats. Returns the plane tuple (yuv420/dct420) or one canvas
+    array (rgb); the caller moves it to device. bench.py's wall-clock
+    breakdown times this exact function, so the measured host-stack cost is
+    the production path's."""
+    n = len(imgs)
+    if input_format == "dct420":
+        from facedet_tpu.ops.jpeg_dct import DctImage, encode_dct420
+
+        yb_h, yb_w = bucket_h // 8, bucket_w // 8
+        cb_h, cb_w = bucket_h // 16, bucket_w // 16
+        y_dc = np.empty((n, yb_h, yb_w), np.int16)
+        y_ac = np.zeros((n, yb_h, yb_w, 64), np.int8)
+        uv_dc = np.zeros((n, cb_h, cb_w, 2), np.int16)
+        uv_ac = np.zeros((n, cb_h, cb_w, 2, 64), np.int8)
+        qy = np.empty((n, 64), np.float32)
+        qc = np.empty((n, 64), np.float32)
+        for i, im in enumerate(imgs):
+            if not isinstance(im, DctImage):
+                im = encode_dct420(im)
+            # black-luma padding (parity with the YUV canvas): DC of a
+            # level-shifted black block is -1024 pre-quant
+            y_dc[i].fill(np.int16(round(-1024.0 / float(im.qy[0]))))
+            sy, sx = im.y_dc.shape
+            y_dc[i, :sy, :sx] = im.y_dc
+            y_ac[i, :sy, :sx] = im.y_ac
+            cy_, cx_ = im.uv_dc.shape[:2]
+            uv_dc[i, :cy_, :cx_] = im.uv_dc
+            uv_ac[i, :cy_, :cx_] = im.uv_ac
+            qy[i] = im.qy
+            qc[i] = im.qc
+        return y_dc, y_ac, uv_dc, uv_ac, qy, qc
+    if input_format == "yuv420":
+        y_b = np.zeros((n, bucket_h, bucket_w), np.uint8)
+        uv_b = np.full((n, bucket_h // 2, bucket_w // 2, 2), 128, np.uint8)
+        for i, im in enumerate(imgs):
+            y, uv = _to_yuv_planes(im)
+            y_b[i, : y.shape[0], : y.shape[1]] = y
+            uv_b[i, : uv.shape[0], : uv.shape[1]] = uv
+        return y_b, uv_b
+    batch = np.zeros((n, bucket_h, bucket_w, imgs[0].shape[2]), imgs[0].dtype)
+    for i, im in enumerate(imgs):
+        batch[i, : im.shape[0], : im.shape[1]] = im
+    return batch
+
+
 def _dispatch_sliced(
     img: np.ndarray,
     detection_model: DetectionModel,
@@ -478,31 +529,13 @@ def _dispatch_sliced_batch(imgs: list, detection_model: DetectionModel, opts: di
         False, opts.get("input_format", "rgb"),
     )
     fused = _get_fused_pipeline(detection_model, key)
-    if opts.get("input_format", "rgb") == "dct420":
-        planes = [_pad_dct_planes(im, bucket_h, bucket_w) for im in imgs]
-        batch_dev = tuple(
-            jnp.asarray(np.stack([p[i] for p in planes])) for i in range(6)
-        )
-    elif opts.get("input_format", "rgb") == "yuv420":
-        # single-copy host staging: write each image's planes straight into
-        # the preallocated batch buffers (a pad-then-stack pays a second
-        # full memcpy — measured ~13 ms/image at batch 64 on the bench host)
-        y_b = np.zeros((len(imgs), bucket_h, bucket_w), np.uint8)
-        uv_b = np.full(
-            (len(imgs), bucket_h // 2, bucket_w // 2, 2), 128, np.uint8
-        )
-        for i, im in enumerate(imgs):
-            y, uv = _to_yuv_planes(im)
-            y_b[i, : y.shape[0], : y.shape[1]] = y
-            uv_b[i, : uv.shape[0], : uv.shape[1]] = uv
-        batch_dev = (jnp.asarray(y_b), jnp.asarray(uv_b))
+    staged = _stage_batch_host(
+        imgs, opts.get("input_format", "rgb"), bucket_h, bucket_w
+    )
+    if isinstance(staged, tuple):
+        batch_dev = tuple(jnp.asarray(a) for a in staged)
     else:
-        batch = np.zeros(
-            (len(imgs), bucket_h, bucket_w, imgs[0].shape[2]), imgs[0].dtype
-        )
-        for i, im in enumerate(imgs):
-            batch[i, :h, :w] = im
-        batch_dev = jnp.asarray(batch)
+        batch_dev = jnp.asarray(staged)
     true_hw = jnp.tile(jnp.asarray([[h, w]], jnp.float32), (len(imgs), 1))
     return fused["batch"](
         detection_model.variables,

@@ -95,7 +95,13 @@ def compare_image(golden: dict, detections, iou_thr: float = 0.5,
         [golden["faces"][i]["bbox"] for i in ignore_idx], np.float32
     ).reshape(-1, 4)
     if golden_kpts is not None:
-        golden_kpts = [golden_kpts[i] for i in scored_idx]
+        # golden_keypoints.json can lag reference_goldens.json (fewer entries
+        # than faces); absent entries score no landmark error instead of
+        # aborting the parity run on an IndexError.
+        golden_kpts = [
+            golden_kpts[i] if i < len(golden_kpts) else None
+            for i in scored_idx
+        ]
     p_boxes = np.array([d[0] for d in detections], np.float32).reshape(-1, 4)
     p_scores = np.array([d[1] for d in detections], np.float32)
     pairs = match_detections(g_boxes, p_boxes, iou_thr)
@@ -114,6 +120,7 @@ def compare_image(golden: dict, detections, iou_thr: float = 0.5,
         conf_deltas.append(0.0 if lo <= s <= hi else min(abs(s - lo), abs(s - hi)))
         if (
             golden_kpts is not None
+            and golden_kpts[gi] is not None
             and len(detections[pi]) > 2
             and detections[pi][2] is not None
         ):

@@ -360,12 +360,24 @@ def _simple(op: str) -> Callable:
     return h
 
 
-def _lower_reduce(op: str) -> Callable:
+def _lower_reduce(op: str, axes_as_input: bool = False) -> Callable:
+    """ReduceSum-13 moved `axes` from attribute to (optional) second input;
+    at the emitted opset 17 an axes ATTRIBUTE on ReduceSum is invalid for
+    external runtimes (onnxruntime/onnx.checker reject it). ReduceMax/Min
+    keep the attribute form until opset 18."""
+
     def h(gb, env, eqn):
         axes = [int(a) for a in eqn.params["axes"]]
-        env[eqn.outvars[0]] = gb.node(
-            op, [env[eqn.invars[0]]], axes=axes, keepdims=0
-        )
+        if axes_as_input:
+            env[eqn.outvars[0]] = gb.node(
+                op,
+                [env[eqn.invars[0]], gb.init(np.asarray(axes, np.int64), "axes")],
+                keepdims=0,
+            )
+        else:
+            env[eqn.outvars[0]] = gb.node(
+                op, [env[eqn.invars[0]]], axes=axes, keepdims=0
+            )
 
     return h
 
@@ -518,7 +530,7 @@ _HANDLERS: dict[str, Callable] = {
     "conv_general_dilated": _lower_conv,
     "dot_general": _lower_dot_general,
     "reduce_window_max": _lower_reduce_window_max,
-    "reduce_sum": _lower_reduce("ReduceSum"),
+    "reduce_sum": _lower_reduce("ReduceSum", axes_as_input=True),
     "reduce_max": _lower_reduce("ReduceMax"),
     "reduce_min": _lower_reduce("ReduceMin"),
     "broadcast_in_dim": _lower_broadcast_in_dim,
@@ -607,7 +619,6 @@ def _fold_single_use_transposes(graph):
         for i in n.inputs:
             uses[i] = uses.get(i, 0) + 1
     out_names = set(graph.output_names)
-    replaced: dict[str, str] = {}
     kept = []
     for n in graph.nodes:
         if (
@@ -620,7 +631,6 @@ def _fold_single_use_transposes(graph):
             graph.initializers[n.outputs[0]] = np.ascontiguousarray(
                 np.transpose(arr, n.attrs["perm"])
             )
-            replaced[n.outputs[0]] = n.outputs[0]
             continue
         kept.append(n)
     graph.nodes = kept

@@ -311,6 +311,12 @@ def train_yolo(args, train_recs, seed: int = 0, eval_points=(), eval_hook=None):
               f"({s_ims.nbytes / 1e6:.0f} MB uint8) in "
               f"{time.perf_counter() - t0:.1f}s")
         spd = min(args.steps_per_dispatch, args.steps)
+        # the staged loop only stops at dispatch boundaries: snap each eval
+        # point UP to the boundary it will actually fire at, so the recorded
+        # step label always equals the trained step count (an off-boundary
+        # point would otherwise be scored with later-step weights under the
+        # earlier label, biasing the CV step-budget choice)
+        evals = sorted({-(-e // spd) * spd for e in evals})
         run = make_staged_train_loop(model, tx, steps_per_dispatch=spd)
         key = jax.random.PRNGKey(3 + seed)
         done = 0
@@ -378,6 +384,9 @@ def main_cv(args, records, goldens, keypoints):
                           "results": results})
 
     agg = {}
+    # aggregate over the step labels actually recorded (staged mode snaps
+    # requested eval points to dispatch boundaries), not the requested ones
+    eval_points = sorted({k for fr in fold_rows for k in fr["results"]})
     for sp in eval_points:
         recalls = [fr["results"][sp]["recall"] for fr in fold_rows
                    if sp in fr["results"]]

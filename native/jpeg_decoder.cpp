@@ -178,8 +178,10 @@ int jpeg_decode_yuv420(const char* path, unsigned char* y, unsigned char* cb,
 //   qy/qc [64]                 uint16  (natural order, per-file tables)
 // yb_h/yb_w = MCU-padded luma block dims = ceil(dim/16)*16/8. Caller zero-fills
 // the buffers; file blocks are written, dummy MCU-padding blocks stay zero.
-// Returns 0 on success, -4 if not plain 4:2:0 YCbCr or Cb/Cr tables differ
-// (caller falls back to RGB decode + host re-encode).
+// Returns 0 on success, -4 if not plain 4:2:0 YCbCr or Cb/Cr tables differ,
+// -6 if any stored AC coefficient exceeds the int8 wire range (high-quality
+// files with tiny quant steps) — the int8 planes would silently clip, so the
+// caller falls back to RGB decode instead of shipping corrupted coefficients.
 int jpeg_read_dct420(const char* path, short* y_dc, signed char* y_ac,
                      short* uv_dc, signed char* uv_ac, unsigned short* qy,
                      unsigned short* qc, int yb_h, int yb_w) {
@@ -258,21 +260,23 @@ int jpeg_read_dct420(const char* path, short* y_dc, signed char* y_ac,
           static_cast<JDIMENSION>(row), 1, FALSE);
       for (long col = 0; col < nc; ++col) {
         const JCOEF* blk = rows[0][col];
+        signed char* ac;
         if (ci == 0) {
           y_dc[row * yb_w + col] = blk[0];
-          signed char* ac = y_ac + (row * yb_w + col) * 64;
-          for (int k = 1; k < 64; ++k) {
-            int v = blk[k];
-            ac[k] = static_cast<signed char>(v > 127 ? 127 : (v < -127 ? -127 : v));
-          }
+          ac = y_ac + (row * yb_w + col) * 64;
         } else {
           const long base = (row * cb_w + col) * 2 + (ci - 1);
           uv_dc[base] = blk[0];
-          signed char* ac = uv_ac + base * 64;
-          for (int k = 1; k < 64; ++k) {
-            int v = blk[k];
-            ac[k] = static_cast<signed char>(v > 127 ? 127 : (v < -127 ? -127 : v));
+          ac = uv_ac + base * 64;
+        }
+        for (int k = 1; k < 64; ++k) {
+          const int v = blk[k];
+          if (v > 127 || v < -127) {
+            jpeg_destroy_decompress(&cinfo);
+            std::fclose(f);
+            return -6;
           }
+          ac[k] = static_cast<signed char>(v);
         }
       }
     }

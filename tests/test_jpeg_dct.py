@@ -176,3 +176,23 @@ def test_native_file_coefficients_fallback_non420(tmp_path):
     y, uv = decode_dct420_np(d)
     yy, _ = rgb_to_yuv420(img)
     assert np.abs(y[:64, :80].astype(int) - yy.astype(int)).mean() < 6.0
+
+
+def test_native_file_coefficients_overflow_fallback(tmp_path):
+    """High-quality files whose stored AC coefficients exceed the int8 wire
+    range must NOT be silently clipped: the native reader returns -6 and the
+    loader falls back to RGB decode + q90 re-encode (detectable by the quant
+    tables: the fallback writes IJG q90 tables, a q100 file carries ~all-1s)."""
+    from PIL import Image
+
+    from facedet_tpu.data.native_loader import load_image_dct420
+
+    rng = np.random.default_rng(7)
+    img = (rng.integers(0, 2, (64, 64, 1)) * 255).astype(np.uint8)
+    img = np.repeat(img, 3, axis=2)  # checkerboard noise: huge AC energy
+    path = str(tmp_path / "q100.jpg")
+    Image.fromarray(img).save(path, quality=100, subsampling=2)
+    d = load_image_dct420(path)
+    assert isinstance(d, DctImage) and d.hw == (64, 64)
+    qy90, _ = quality_tables(90)
+    np.testing.assert_array_equal(d.qy, qy90)  # fallback path taken
