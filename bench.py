@@ -209,7 +209,7 @@ def _device_accounting(model, img, cfg, bsz):
     if input_format == "dct420":
         from facedet_tpu.ops.jpeg_dct import dct420_bytes
 
-        planes = P._pad_dct_planes(img, bucket_h, bucket_w)
+        planes = P._dct_wire(P._pad_dct_planes(img, bucket_h, bucket_w))
         batch_dev = tuple(
             jnp.asarray(np.broadcast_to(p, (bsz,) + p.shape).copy())
             for p in planes

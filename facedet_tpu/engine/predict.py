@@ -176,11 +176,18 @@ def _get_fused_pipeline(
             # entropy-domain ingest (ops/jpeg_dct.py): quantized DCT
             # coefficients upload ~2x faster through the compressing link
             # (97% zeros); dequant + 8x8 IDCT run as MXU matmuls and fuse
-            # into the pipeline like the YUV path they feed
+            # into the pipeline like the YUV path they feed. AC planes
+            # arrive coefficient-major ("wire layout", _dct_wire): same-
+            # frequency statistics group into long zero runs the link
+            # compressor crushes ~1.9x better; transposed back here (a
+            # cheap int8 relayout next to the IDCT matmuls).
             from facedet_tpu.ops.color import yuv420_to_rgb_f32
             from facedet_tpu.ops.jpeg_dct import decode_dct420_to_yuv_f32
 
-            y, uv = decode_dct420_to_yuv_f32(*image)
+            y_dc, y_ac, uv_dc, uv_ac, qy, qc = image
+            y_ac = jnp.moveaxis(y_ac, 0, -1)
+            uv_ac = jnp.transpose(uv_ac, (2, 3, 0, 1))
+            y, uv = decode_dct420_to_yuv_f32(y_dc, y_ac, uv_dc, uv_ac, qy, qc)
             imgf = yuv420_to_rgb_f32(y, uv)
         else:
             imgf = (
@@ -343,6 +350,23 @@ def _pad_dct_planes(img, bucket_h: int, bucket_w: int):
     return y_dc, y_ac, uv_dc, uv_ac, img.qy, img.qc
 
 
+def _dct_wire(planes):
+    """Block-major dct420 planes -> wire layout: AC coefficient-major
+    (y_ac [64, Hb, Wb], uv_ac [2, 64, Hb2, Wb2]). Grouping same-frequency
+    int8 statistics into long zero runs compresses ~1.9x better through the
+    transparent link compressor (BENCH.md round-3 wire-layout A/B); the
+    fused pipeline transposes back on device."""
+    y_dc, y_ac, uv_dc, uv_ac, qy, qc = planes
+    return (
+        y_dc,
+        np.moveaxis(y_ac, -1, 0),
+        uv_dc,
+        np.moveaxis(uv_ac, (2, 3), (0, 1)),
+        qy,
+        qc,
+    )
+
+
 def _stage_batch_host(imgs: list, input_format: str, bucket_h: int, bucket_w: int):
     """Same-size image batch -> host numpy batch in upload layout.
 
@@ -359,10 +383,12 @@ def _stage_batch_host(imgs: list, input_format: str, bucket_h: int, bucket_w: in
 
         yb_h, yb_w = bucket_h // 8, bucket_w // 8
         cb_h, cb_w = bucket_h // 16, bucket_w // 16
+        # AC planes staged directly in wire layout (_dct_wire): coefficient-
+        # major, so each frequency's near-all-zero int8 plane is contiguous
         y_dc = np.empty((n, yb_h, yb_w), np.int16)
-        y_ac = np.zeros((n, yb_h, yb_w, 64), np.int8)
+        y_ac = np.zeros((n, 64, yb_h, yb_w), np.int8)
         uv_dc = np.zeros((n, cb_h, cb_w, 2), np.int16)
-        uv_ac = np.zeros((n, cb_h, cb_w, 2, 64), np.int8)
+        uv_ac = np.zeros((n, 2, 64, cb_h, cb_w), np.int8)
         qy = np.empty((n, 64), np.float32)
         qc = np.empty((n, 64), np.float32)
         for i, im in enumerate(imgs):
@@ -373,10 +399,10 @@ def _stage_batch_host(imgs: list, input_format: str, bucket_h: int, bucket_w: in
             y_dc[i].fill(np.int16(round(-1024.0 / float(im.qy[0]))))
             sy, sx = im.y_dc.shape
             y_dc[i, :sy, :sx] = im.y_dc
-            y_ac[i, :sy, :sx] = im.y_ac
+            y_ac[i, :, :sy, :sx] = np.moveaxis(im.y_ac, -1, 0)
             cy_, cx_ = im.uv_dc.shape[:2]
             uv_dc[i, :cy_, :cx_] = im.uv_dc
-            uv_ac[i, :cy_, :cx_] = im.uv_ac
+            uv_ac[i, :, :, :cy_, :cx_] = np.moveaxis(im.uv_ac, (2, 3), (0, 1))
             qy[i] = im.qy
             qc[i] = im.qc
         return y_dc, y_ac, uv_dc, uv_ac, qy, qc
@@ -450,7 +476,10 @@ def _dispatch_sliced(
         y_p, uv_p = _pad_yuv_planes(img, bucket_h, bucket_w)
         img_dev = (jnp.asarray(y_p), jnp.asarray(uv_p))
     elif input_format == "dct420":
-        img_dev = tuple(jnp.asarray(p) for p in _pad_dct_planes(img, bucket_h, bucket_w))
+        img_dev = tuple(
+            jnp.asarray(p)
+            for p in _dct_wire(_pad_dct_planes(img, bucket_h, bucket_w))
+        )
     elif isinstance(img, np.ndarray):
         if img.shape[0] != bucket_h or img.shape[1] != bucket_w:
             img_padded = np.zeros((bucket_h, bucket_w, img.shape[2]), img.dtype)
