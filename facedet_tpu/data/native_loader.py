@@ -72,6 +72,24 @@ def _load_native():
                 ctypes.c_int,
             ]
             lib.jpeg_read_dct420.restype = ctypes.c_int
+            lib.jpeg_dims_mem.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_long,
+            ] + [ctypes.POINTER(ctypes.c_int)] * 3
+            lib.jpeg_dims_mem.restype = ctypes.c_int
+            lib.jpeg_read_dct420_mem.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_short),
+                ctypes.POINTER(ctypes.c_byte),
+                ctypes.POINTER(ctypes.c_short),
+                ctypes.POINTER(ctypes.c_byte),
+                ctypes.POINTER(ctypes.c_ushort),
+                ctypes.POINTER(ctypes.c_ushort),
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.jpeg_read_dct420_mem.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _failed = True
@@ -137,14 +155,52 @@ def load_image_yuv420(path: str):
     return rgb_to_yuv420(rgb)
 
 
+def _native_read_dct420(lib, h: int, w: int, call):
+    """Allocate DctImage-layout buffers for an (h, w) image and run ``call``
+    (the file or memory native reader) against their pointers; returns the
+    DctImage or None if the native read declined (non-4:2:0, AC overflow)."""
+    from facedet_tpu.ops.jpeg_dct import DctImage
+
+    ph = -(-h // 16) * 16
+    pw = -(-w // 16) * 16
+    yb_h, yb_w = ph // 8, pw // 8
+    y_dc = np.zeros((yb_h, yb_w), np.int16)
+    y_ac = np.zeros((yb_h, yb_w, 64), np.int8)
+    uv_dc = np.zeros((yb_h // 2, yb_w // 2, 2), np.int16)
+    uv_ac = np.zeros((yb_h // 2, yb_w // 2, 2, 64), np.int8)
+    qy = np.zeros(64, np.uint16)
+    qc = np.zeros(64, np.uint16)
+    rc = call(
+        y_dc.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+        y_ac.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
+        uv_dc.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+        uv_ac.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
+        qy.ctypes.data_as(ctypes.POINTER(ctypes.c_ushort)),
+        qc.ctypes.data_as(ctypes.POINTER(ctypes.c_ushort)),
+        yb_h,
+        yb_w,
+    )
+    if rc != 0:
+        return None
+    return DctImage(
+        y_dc=y_dc,
+        y_ac=y_ac,
+        uv_dc=uv_dc,
+        uv_ac=uv_ac,
+        qy=qy.astype(np.float32),
+        qc=qc.astype(np.float32),
+        hw=(h, w),
+    )
+
+
 def load_image_dct420(path: str):
     """JPEG file -> :class:`~facedet_tpu.ops.jpeg_dct.DctImage` holding the
     file's *stored* quantized coefficients (native jpeg_read_coefficients —
     no IDCT anywhere on the host), the lossless source for the engine's
-    ``input_format="dct420"`` ingest. Non-4:2:0 files (or AC overflow-free
-    reads being impossible) fall back to RGB decode + ``encode_dct420`` at
+    ``input_format="dct420"`` ingest. Non-4:2:0 files (or stored AC outside
+    the int8 wire range) fall back to RGB decode + ``encode_dct420`` at
     quality 90; returns None when the image cannot be decoded at all."""
-    from facedet_tpu.ops.jpeg_dct import DctImage, encode_dct420
+    from facedet_tpu.ops.jpeg_dct import encode_dct420
 
     lib = _load_native()
     if lib is not None and path.lower().endswith((".jpg", ".jpeg")):
@@ -155,38 +211,49 @@ def load_image_dct420(path: str):
             lib.jpeg_dims(path.encode(), ctypes.byref(h), ctypes.byref(w), ctypes.byref(c))
             == 0
         ):
-            ph = -(-h.value // 16) * 16
-            pw = -(-w.value // 16) * 16
-            yb_h, yb_w = ph // 8, pw // 8
-            y_dc = np.zeros((yb_h, yb_w), np.int16)
-            y_ac = np.zeros((yb_h, yb_w, 64), np.int8)
-            uv_dc = np.zeros((yb_h // 2, yb_w // 2, 2), np.int16)
-            uv_ac = np.zeros((yb_h // 2, yb_w // 2, 2, 64), np.int8)
-            qy = np.zeros(64, np.uint16)
-            qc = np.zeros(64, np.uint16)
-            rc = lib.jpeg_read_dct420(
-                path.encode(),
-                y_dc.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
-                y_ac.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
-                uv_dc.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
-                uv_ac.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
-                qy.ctypes.data_as(ctypes.POINTER(ctypes.c_ushort)),
-                qc.ctypes.data_as(ctypes.POINTER(ctypes.c_ushort)),
-                yb_h,
-                yb_w,
+            d = _native_read_dct420(
+                lib, h.value, w.value,
+                lambda *ptrs: lib.jpeg_read_dct420(path.encode(), *ptrs),
             )
-            if rc == 0:
-                return DctImage(
-                    y_dc=y_dc,
-                    y_ac=y_ac,
-                    uv_dc=uv_dc,
-                    uv_ac=uv_ac,
-                    qy=qy.astype(np.float32),
-                    qc=qc.astype(np.float32),
-                    hw=(h.value, w.value),
-                )
+            if d is not None:
+                return d
     try:
         rgb = load_image(path)
+    except Exception:
+        return None
+    return encode_dct420(rgb)
+
+
+def decode_jpeg_bytes_dct420(data: bytes):
+    """In-memory JPEG (e.g. one MJPEG-AVI frame, data/video.py) -> DctImage
+    of its stored coefficients via the native jpeg_mem_src reader; same
+    fallback contract as :func:`load_image_dct420`. Returns None only when
+    the bytes are not decodable as a JPEG at all."""
+    from facedet_tpu.ops.jpeg_dct import encode_dct420
+
+    lib = _load_native()
+    if lib is not None:
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        c = ctypes.c_int()
+        if (
+            lib.jpeg_dims_mem(
+                data, len(data), ctypes.byref(h), ctypes.byref(w), ctypes.byref(c)
+            )
+            == 0
+        ):
+            d = _native_read_dct420(
+                lib, h.value, w.value,
+                lambda *ptrs: lib.jpeg_read_dct420_mem(data, len(data), *ptrs),
+            )
+            if d is not None:
+                return d
+    import io
+
+    try:
+        from PIL import Image
+
+        rgb = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     except Exception:
         return None
     return encode_dct420(rgb)

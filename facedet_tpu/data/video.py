@@ -53,7 +53,7 @@ def _riff_chunks(buf: memoryview, start: int, end: int):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
 
 
-def _read_avi_frames(path: str) -> Iterator[np.ndarray]:
+def _read_avi_frames(path: str, ingest: str = "rgb") -> Iterator[np.ndarray]:
     from PIL import Image
 
     with open(path, "rb") as f:
@@ -77,6 +77,17 @@ def _read_avi_frames(path: str) -> Iterator[np.ndarray]:
         if not jpeg.startswith(b"\xff\xd8"):
             raise ValueError("AVI stream is not MJPEG (frame is not a JPEG); "
                              "re-encode with MJPEG or install ffmpeg")
+        if ingest == "dct420":
+            # each MJPEG frame IS a JPEG: ship its stored coefficients to
+            # the TPU (native jpeg_mem_src reader, no host IDCT) for the
+            # engine's entropy-domain ingest
+            from facedet_tpu.data.native_loader import decode_jpeg_bytes_dct420
+
+            d = decode_jpeg_bytes_dct420(jpeg)
+            if d is None:
+                raise ValueError("undecodable MJPEG frame")
+            yield d
+            continue
         img = Image.open(io.BytesIO(jpeg)).convert("RGB")
         yield np.asarray(img)
 
@@ -325,9 +336,15 @@ def video_info(path: str) -> dict:
     )
 
 
-def read_video_frames(path: str) -> Iterator[np.ndarray]:
-    """Yield RGB uint8 frames from a video file. MJPEG AVI and Y4M decode
-    natively; other containers require an ffmpeg binary on PATH."""
+def read_video_frames(path: str, ingest: str = "rgb") -> Iterator[np.ndarray]:
+    """Yield frames from a video file. MJPEG AVI and Y4M decode natively;
+    other containers require an ffmpeg binary on PATH.
+
+    ``ingest="dct420"`` yields each MJPEG-AVI frame as a
+    :class:`~facedet_tpu.ops.jpeg_dct.DctImage` of the frame's own stored
+    JPEG coefficients (lossless, zero host IDCT) for the engine's
+    entropy-domain upload path; non-MJPEG sources still yield RGB frames,
+    which the engine re-encodes on the fly under the same input_format."""
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     ext = os.path.splitext(path)[1].lower()
@@ -339,7 +356,7 @@ def read_video_frames(path: str) -> Iterator[np.ndarray]:
         # restarting mid-stream would duplicate frames).
         produced = False
         try:
-            for frame in _read_avi_frames(path):
+            for frame in _read_avi_frames(path, ingest=ingest):
                 produced = True
                 yield frame
             return

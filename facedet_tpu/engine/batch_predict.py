@@ -211,13 +211,16 @@ def predict(
     exclude_classes_by_id: Optional[list[int]] = None,
     verbose: int = 1,
     return_dict: bool = True,
+    ingest: str = "rgb",
 ) -> Optional[dict]:
     """Folder/image/COCO/video batch driver (docs sahi/predict.py:385). Video
     sources stream through the pipelined predictor and export an annotated
     MJPEG AVI (data/video.py — native decode for MJPEG-AVI/Y4M, ffmpeg
-    subprocess for other codecs)."""
+    subprocess for other codecs); ``ingest="dct420"`` uploads MJPEG frames
+    as their stored JPEG coefficients (see predict_video)."""
     if source and str(source).lower().endswith(VIDEO_EXTENSIONS):
         return predict_video(
+            ingest=ingest,
             detection_model=detection_model,
             source=source,
             no_standard_prediction=no_standard_prediction,
@@ -372,11 +375,17 @@ def predict_video(
     name: str = "exp",
     verbose: int = 1,
     return_dict: bool = True,
+    ingest: str = "rgb",
 ) -> Optional[dict]:
     """Video branch of ``predict()`` (docs sahi/predict.py:385 video mode):
     decode frames (data/video.py), run them through the pipelined sliced
     predictor (uploads/compute overlap result fetches), export an annotated
-    MJPEG AVI + per-frame COCO detections json."""
+    MJPEG AVI + per-frame COCO detections json.
+
+    ``ingest="dct420"``: MJPEG-AVI frames upload as their own stored JPEG
+    coefficients (native in-memory reader, no host IDCT — lossless and
+    ~2x faster through a bandwidth-bound host link; BENCH.md ingest study).
+    Sliced mode only; the standard-prediction-only branch reads RGB."""
     from facedet_tpu.data.video import MjpegAviWriter, read_video_frames, video_info
     from facedet_tpu.engine.predict import get_prediction, predict_stream
     from facedet_tpu.utils.viz import draw_detections_on_image
@@ -394,17 +403,17 @@ def predict_video(
     save_dir.mkdir(parents=True, exist_ok=True)
     stem = Path(source).stem
 
-    def frames():
-        for i, frame in enumerate(read_video_frames(source)):
+    def frames(fmt):
+        for i, frame in enumerate(read_video_frames(source, ingest=fmt)):
             if frame_skip and i % (frame_skip + 1):
                 continue
             yield frame
 
     if no_sliced_prediction:
-        results = (get_prediction(f, detection_model) for f in frames())
+        results = (get_prediction(f, detection_model) for f in frames("rgb"))
     else:
         results = predict_stream(
-            frames(),
+            frames(ingest),
             detection_model,
             slice_height=slice_height,
             slice_width=slice_width,
@@ -415,6 +424,7 @@ def predict_video(
             postprocess_match_metric=postprocess_match_metric,
             postprocess_match_threshold=postprocess_match_threshold,
             postprocess_class_agnostic=postprocess_class_agnostic,
+            input_format=ingest,
         )
 
     writer = None if novisual else MjpegAviWriter(

@@ -172,7 +172,7 @@ int jpeg_decode_yuv420(const char* path, unsigned char* y, unsigned char* cb,
 // Output layout matches ops/jpeg_dct.py's DctImage (all row-major, blocks in
 // natural order — libjpeg de-zigzags during entropy decode):
 //   y_dc  [yb_h, yb_w]         int16   (DC, exact)
-//   y_ac  [yb_h, yb_w, 64]     int8    (AC clipped to +-127, slot 0 zeroed)
+//   y_ac  [yb_h, yb_w, 64]     int8    (AC, slot 0 zeroed by caller prefill)
 //   uv_dc [yb_h/2, yb_w/2, 2]  int16   (Cb=0, Cr=1)
 //   uv_ac [yb_h/2, yb_w/2, 2, 64] int8
 //   qy/qc [64]                 uint16  (natural order, per-file tables)
@@ -182,23 +182,12 @@ int jpeg_decode_yuv420(const char* path, unsigned char* y, unsigned char* cb,
 // -6 if any stored AC coefficient exceeds the int8 wire range (high-quality
 // files with tiny quant steps) — the int8 planes would silently clip, so the
 // caller falls back to RGB decode instead of shipping corrupted coefficients.
-int jpeg_read_dct420(const char* path, short* y_dc, signed char* y_ac,
-                     short* uv_dc, signed char* uv_ac, unsigned short* qy,
-                     unsigned short* qc, int yb_h, int yb_w) {
-  FILE* f = std::fopen(path, "rb");
-  if (!f) return -1;
-  jpeg_decompress_struct cinfo;
-  ErrorCtx err;
-  cinfo.err = jpeg_std_error(&err.mgr);
-  err.mgr.error_exit = on_error;
-  if (setjmp(err.jump)) {
-    jpeg_destroy_decompress(&cinfo);
-    std::fclose(f);
-    return -2;
-  }
-  jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, f);
-  jpeg_read_header(&cinfo, TRUE);
+static int read_dct420_body(jpeg_decompress_struct& cinfo, short* y_dc,
+                            signed char* y_ac, short* uv_dc,
+                            signed char* uv_ac, unsigned short* qy,
+                            unsigned short* qc, int yb_h, int yb_w) {
+  // Shared body for the file and memory entry points: runs after
+  // jpeg_read_header; the caller destroys cinfo (and closes any file).
   const bool is420 =
       cinfo.jpeg_color_space == JCS_YCbCr && cinfo.num_components == 3 &&
       cinfo.comp_info[0].h_samp_factor == 2 &&
@@ -207,17 +196,9 @@ int jpeg_read_dct420(const char* path, short* y_dc, signed char* y_ac,
       cinfo.comp_info[1].v_samp_factor == 1 &&
       cinfo.comp_info[2].h_samp_factor == 1 &&
       cinfo.comp_info[2].v_samp_factor == 1;
-  if (!is420) {
-    jpeg_destroy_decompress(&cinfo);
-    std::fclose(f);
-    return -4;
-  }
+  if (!is420) return -4;
   jvirt_barray_ptr* coefs = jpeg_read_coefficients(&cinfo);
-  if (!coefs) {
-    jpeg_destroy_decompress(&cinfo);
-    std::fclose(f);
-    return -5;
-  }
+  if (!coefs) return -5;
   JQUANT_TBL* qt[3];
   for (int ci = 0; ci < 3; ++ci) {
     qt[ci] = cinfo.comp_info[ci].quant_table;
@@ -225,19 +206,11 @@ int jpeg_read_dct420(const char* path, short* y_dc, signed char* y_ac,
       int n = cinfo.comp_info[ci].quant_tbl_no;
       qt[ci] = (n >= 0 && n < NUM_QUANT_TBLS) ? cinfo.quant_tbl_ptrs[n] : nullptr;
     }
-    if (!qt[ci]) {
-      jpeg_destroy_decompress(&cinfo);
-      std::fclose(f);
-      return -4;
-    }
+    if (!qt[ci]) return -4;
   }
   for (int k = 0; k < 64; ++k) {
     // DctImage carries a single chroma table; mixed-table files fall back.
-    if (qt[1]->quantval[k] != qt[2]->quantval[k]) {
-      jpeg_destroy_decompress(&cinfo);
-      std::fclose(f);
-      return -4;
-    }
+    if (qt[1]->quantval[k] != qt[2]->quantval[k]) return -4;
     qy[k] = qt[0]->quantval[k];
     qc[k] = qt[1]->quantval[k];
   }
@@ -271,20 +244,83 @@ int jpeg_read_dct420(const char* path, short* y_dc, signed char* y_ac,
         }
         for (int k = 1; k < 64; ++k) {
           const int v = blk[k];
-          if (v > 127 || v < -127) {
-            jpeg_destroy_decompress(&cinfo);
-            std::fclose(f);
-            return -6;
-          }
+          if (v > 127 || v < -127) return -6;
           ac[k] = static_cast<signed char>(v);
         }
       }
     }
   }
   jpeg_finish_decompress(&cinfo);
+  return 0;
+}
+
+int jpeg_read_dct420(const char* path, short* y_dc, signed char* y_ac,
+                     short* uv_dc, signed char* uv_ac, unsigned short* qy,
+                     unsigned short* qc, int yb_h, int yb_w) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  jpeg_decompress_struct cinfo;
+  ErrorCtx err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = on_error;
+  if (setjmp(err.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  const int rc = read_dct420_body(cinfo, y_dc, y_ac, uv_dc, uv_ac, qy, qc,
+                                  yb_h, yb_w);
   jpeg_destroy_decompress(&cinfo);
   std::fclose(f);
+  return rc;
+}
+
+// In-memory variants (libjpeg jpeg_mem_src) — the sources for MJPEG-AVI
+// video frames (data/video.py embeds one JPEG per frame): frame coefficients
+// flow to the device without ever touching the filesystem or a host IDCT.
+
+int jpeg_dims_mem(const unsigned char* buf, long len, int* height, int* width,
+                  int* channels) {
+  jpeg_decompress_struct cinfo;
+  ErrorCtx err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = on_error;
+  if (setjmp(err.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  *height = static_cast<int>(cinfo.image_height);
+  *width = static_cast<int>(cinfo.image_width);
+  *channels = 3;
+  jpeg_destroy_decompress(&cinfo);
   return 0;
+}
+
+int jpeg_read_dct420_mem(const unsigned char* buf, long len, short* y_dc,
+                         signed char* y_ac, short* uv_dc, signed char* uv_ac,
+                         unsigned short* qy, unsigned short* qc, int yb_h,
+                         int yb_w) {
+  jpeg_decompress_struct cinfo;
+  ErrorCtx err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = on_error;
+  if (setjmp(err.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  const int rc = read_dct420_body(cinfo, y_dc, y_ac, uv_dc, uv_ac, qy, qc,
+                                  yb_h, yb_w);
+  jpeg_destroy_decompress(&cinfo);
+  return rc;
 }
 
 }  // extern "C"

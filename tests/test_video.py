@@ -141,3 +141,61 @@ def test_facedetector_detect_video(tmp_path):
     # webcam mode degrades with a clear error on camera-less hosts
     with pytest.raises(RuntimeError, match="webcam"):
         list(det.detect_webcam(device="/dev/nonexistent-video"))
+
+
+def test_predict_video_dct420_ingest(tmp_path):
+    """MJPEG frames ship their own stored JPEG coefficients to the pipeline
+    (ingest="dct420": native in-memory coefficient reader -> DctImage ->
+    entropy-domain upload); detections match the RGB-decode path."""
+    from facedet_tpu.engine.batch_predict import predict_video
+    from facedet_tpu.engine.fake import FakeBlobDetectionModel
+
+    path, centers = blob_video(tmp_path)
+    model = FakeBlobDetectionModel(confidence_threshold=0.5, image_size=64)
+    out = predict_video(
+        detection_model=model,
+        source=path,
+        slice_height=64,
+        slice_width=64,
+        no_standard_prediction=True,
+        project=str(tmp_path / "runs_dct"),
+        verbose=0,
+        ingest="dct420",
+    )
+    assert out["num_frames"] == len(centers)
+    import json
+    import os
+
+    dets = json.load(open(os.path.join(out["export_dir"], "result.json")))
+    for d, (cy, cx) in zip(sorted(dets, key=lambda d: d["image_id"]), centers):
+        x, y, bw, bh = d["bbox"]
+        assert abs(x + bw / 2 - cx) <= 2 and abs(y + bh / 2 - cy) <= 2
+    # annotated AVI frames reconstruct from coefficients (result.image path)
+    vids = [f for f in os.listdir(out["export_dir"]) if f.endswith(".avi")]
+    assert len(vids) == 1
+
+
+def test_decode_jpeg_bytes_dct420_matches_file_reader(tmp_path):
+    """The in-memory coefficient reader returns bit-identical planes to the
+    file reader for the same JPEG bytes."""
+    from PIL import Image
+
+    from facedet_tpu.data.native_loader import (
+        decode_jpeg_bytes_dct420,
+        load_image_dct420,
+    )
+
+    rng = np.random.default_rng(11)
+    img = np.clip(
+        np.kron(rng.integers(40, 200, (6, 8, 3)), np.ones((16, 16, 1))), 0, 255
+    ).astype(np.uint8)
+    path = str(tmp_path / "m.jpg")
+    Image.fromarray(img).save(path, quality=90, subsampling=2)
+    d_file = load_image_dct420(path)
+    d_mem = decode_jpeg_bytes_dct420(open(path, "rb").read())
+    assert d_mem.hw == d_file.hw
+    np.testing.assert_array_equal(d_mem.y_dc, d_file.y_dc)
+    np.testing.assert_array_equal(d_mem.y_ac, d_file.y_ac)
+    np.testing.assert_array_equal(d_mem.uv_dc, d_file.uv_dc)
+    np.testing.assert_array_equal(d_mem.uv_ac, d_file.uv_ac)
+    np.testing.assert_array_equal(d_mem.qy, d_file.qy)
