@@ -25,6 +25,12 @@ def main(argv=None):
     ap.add_argument("--outscale", type=float, default=4.0)
     ap.add_argument("--tile", type=int, default=400)
     ap.add_argument("--list-models", action="store_true")
+    ap.add_argument(
+        "--fetch", default="rgb", choices=["rgb", "dct420"],
+        help="result download format: rgb pixels, or dct420 = device-encoded "
+        "JPEG coefficients entropy-coded natively into the output .jpg "
+        "(~2x less D2H traffic on a bandwidth-bound link)",
+    )
     args = ap.parse_args(argv)
 
     print("Available models:")
@@ -40,7 +46,7 @@ def main(argv=None):
         tile=args.tile,
     )
     out_dir = args.output or args.input.rstrip("/") + "_enhanced"
-    stats = enhance_face_crops_batch(args.input, out_dir, enhancer)
+    stats = enhance_face_crops_batch(args.input, out_dir, enhancer, fetch=args.fetch)
     report = create_enhancement_summary(
         stats,
         output_path=f"{out_dir}/enhancement_summary.txt",

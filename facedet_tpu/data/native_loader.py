@@ -90,6 +90,20 @@ def _load_native():
                 ctypes.c_int,
             ]
             lib.jpeg_read_dct420_mem.restype = ctypes.c_int
+            lib.jpeg_write_dct420.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_short),
+                ctypes.POINTER(ctypes.c_byte),
+                ctypes.POINTER(ctypes.c_short),
+                ctypes.POINTER(ctypes.c_byte),
+                ctypes.POINTER(ctypes.c_ushort),
+                ctypes.POINTER(ctypes.c_ushort),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.jpeg_write_dct420.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _failed = True
@@ -257,6 +271,44 @@ def decode_jpeg_bytes_dct420(data: bytes):
     except Exception:
         return None
     return encode_dct420(rgb)
+
+
+def save_dct420_jpeg(path: str, img) -> bool:
+    """Entropy-code a :class:`~facedet_tpu.ops.jpeg_dct.DctImage` into a real
+    baseline JPEG (native jpeg_write_coefficients — the mirror of
+    :func:`load_image_dct420`; no DCT runs on the host in either direction).
+    This is how TPU-side encoded outputs (e.g. Real-ESRGAN results fetched as
+    coefficients, ops/jpeg_dct.py::encode_dct420_device) land on disk without
+    ever materializing as host pixels. Returns False when the native library
+    is unavailable (caller falls back to a pixel decode + PIL save)."""
+    lib = _load_native()
+    if lib is None:
+        return False
+    h, w = img.hw
+    # planes may live on a bucketed canvas larger than the image (shared
+    # compilations); the file's block dims are fixed by (h, w), so slice
+    yb_h = -(-h // 16) * 2
+    yb_w = -(-w // 16) * 2
+    y_dc = np.ascontiguousarray(img.y_dc[:yb_h, :yb_w], np.int16)
+    y_ac = np.ascontiguousarray(img.y_ac[:yb_h, :yb_w], np.int8)
+    uv_dc = np.ascontiguousarray(img.uv_dc[: yb_h // 2, : yb_w // 2], np.int16)
+    uv_ac = np.ascontiguousarray(img.uv_ac[: yb_h // 2, : yb_w // 2], np.int8)
+    qy = np.ascontiguousarray(np.rint(img.qy), np.uint16)
+    qc = np.ascontiguousarray(np.rint(img.qc), np.uint16)
+    rc = lib.jpeg_write_dct420(
+        path.encode(),
+        y_dc.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+        y_ac.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
+        uv_dc.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+        uv_ac.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
+        qy.ctypes.data_as(ctypes.POINTER(ctypes.c_ushort)),
+        qc.ctypes.data_as(ctypes.POINTER(ctypes.c_ushort)),
+        yb_h,
+        yb_w,
+        h,
+        w,
+    )
+    return rc == 0
 
 
 def load_image(path: str) -> np.ndarray:

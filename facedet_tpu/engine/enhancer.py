@@ -270,6 +270,77 @@ class FaceEnhancer:
         save_image(output_path, np.asarray(jnp.round(out * 255.0).astype(jnp.uint8)), quality=jpeg_quality)
         return True
 
+    def _enhance_dct_pipeline(self, h: int, w: int, outscale: float, quality: int):
+        """SR + device-side JPEG-domain encode in ONE jitted dispatch: the
+        x4 output (16x the input pixels — the fetch, not the upload, is the
+        bandwidth problem here) comes back as quantized DCT coefficient
+        planes in wire layout (ops/jpeg_dct.py::encode_dct420_device) instead
+        of raw RGB: ~2x fewer nominal bytes, and the near-all-zero
+        coefficient-major int8 planes compress ~1.9x better through the link
+        (BENCH.md wire-layout study). The host entropy-codes them straight
+        into a .jpg (native jpeg_write_coefficients) — no DCT and no pixel
+        materialization anywhere on the host."""
+        from facedet_tpu.ops.jpeg_dct import encode_dct420_device, quality_tables
+
+        cache = self.__dict__.setdefault("_enh_dct_cache", {})
+        key = (h, w, outscale, quality, self.tile, self.tile_pad)
+        if key in cache:
+            return cache[key]
+        qy, qc = quality_tables(quality)
+        sr = self._enhance_pipeline(h, w, outscale)
+        th = int(round(h * outscale))
+        tw = int(round(w * outscale))
+        ph, pw = -(-th // 16) * 16, -(-tw // 16) * 16
+
+        @jax.jit
+        def pipeline(variables, image):
+            out = sr(variables, image)
+            out = jnp.pad(
+                out, ((0, ph - th), (0, pw - tw), (0, 0)), mode="edge"
+            )
+            return encode_dct420_device(out, jnp.asarray(qy), jnp.asarray(qc))
+
+        entry = (pipeline, qy, qc, (th, tw))
+        cache[key] = entry
+        return entry
+
+    def enhance_to_jpeg(
+        self,
+        input_path: str,
+        output_path: str,
+        outscale: Optional[float] = None,
+        quality: int = 90,
+    ) -> bool:
+        """File -> enhanced .jpg with the output fetched as quantized DCT
+        coefficients and entropy-coded natively (see _enhance_dct_pipeline).
+        Same size-bucketing as :meth:`enhance_face_crop`; falls back to the
+        pixel path when the native writer is unavailable."""
+        from facedet_tpu.data.native_loader import save_dct420_jpeg
+        from facedet_tpu.ops.jpeg_dct import wire_planes_to_dct_image
+        from facedet_tpu.utils.viz import load_image
+
+        img = load_image(input_path)
+        h, w = img.shape[:2]
+        bh, bw = _bucket_dim(h), _bucket_dim(w)
+        x = jnp.asarray(img, jnp.float32) / 255.0
+        if (bh, bw) != (h, w):
+            x = jnp.pad(x, ((0, bh - h), (0, bw - w), (0, 0)), mode="reflect")
+        sc = self.outscale if outscale is None else float(outscale)
+        pipeline, qy, qc, _bucket_thw = self._enhance_dct_pipeline(
+            bh, bw, sc, quality
+        )
+        planes = pipeline(self.variables, x)
+        th, tw = int(round(h * sc)), int(round(w * sc))
+        d = wire_planes_to_dct_image(planes, qy, qc, (th, tw))
+        if save_dct420_jpeg(output_path, d):
+            return True
+        # no native lib: decode the fetched planes on host and save pixels
+        from facedet_tpu.engine.predict import _display_image
+        from facedet_tpu.utils.viz import save_image
+
+        save_image(output_path, _display_image(d), quality=quality)
+        return True
+
     def get_model_info(self) -> dict:
         """Reference utils/enhancer.py:291."""
         n_params = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(self.variables))
@@ -300,9 +371,15 @@ def enhance_face_crops_batch(
     enhancer: FaceEnhancer,
     outscale: Optional[float] = None,
     max_retries: int = 2,
+    fetch: str = "rgb",
 ) -> dict:
     """Iterate a crops directory, enhance each crop file with per-file retry,
-    return a stats dict (reference utils/enhancer.py:305-407)."""
+    return a stats dict (reference utils/enhancer.py:305-407).
+
+    ``fetch="dct420"`` downloads each result as device-encoded DCT
+    coefficients and entropy-codes them natively into the output .jpg
+    (enhance_to_jpeg) — the low-bandwidth fetch mirror of the dct420
+    ingest; non-.jpg outputs keep the pixel path."""
     os.makedirs(output_dir, exist_ok=True)
     files = sorted(
         f
@@ -321,9 +398,13 @@ def enhance_face_crops_batch(
         src = os.path.join(input_dir, fname)
         dst = os.path.join(output_dir, fname)
         ok = False
+        use_dct = fetch == "dct420" and dst.lower().endswith((".jpg", ".jpeg"))
         for _ in range(max_retries):
             try:
-                enhancer.enhance_face_crop(src, dst, outscale)
+                if use_dct:
+                    enhancer.enhance_to_jpeg(src, dst, outscale)
+                else:
+                    enhancer.enhance_face_crop(src, dst, outscale)
                 ok = True
                 break
             except Exception:  # per-file resilience (reference :362-377)

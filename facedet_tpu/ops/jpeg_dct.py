@@ -43,6 +43,8 @@ __all__ = [
     "quality_tables",
     "encode_dct420",
     "decode_dct420_to_yuv_f32",
+    "encode_dct420_device",
+    "wire_planes_to_dct_image",
     "dct420_bytes",
 ]
 
@@ -200,6 +202,68 @@ def decode_dct420_np(img: DctImage) -> tuple[np.ndarray, np.ndarray]:
     u = plane(img.uv_dc[..., 0], img.uv_ac[..., 0, :].copy(), img.qc)
     v = plane(img.uv_dc[..., 1], img.uv_ac[..., 1, :].copy(), img.qc)
     return y, np.stack([u, v], axis=-1)
+
+
+def encode_dct420_device(rgb, qy, qc):
+    """Device-side forward transform — the mirror of
+    :func:`decode_dct420_to_yuv_f32`, for FETCHING large images (e.g. x4
+    Real-ESRGAN outputs, 16x the input pixels) as quantized coefficients
+    instead of raw RGB: ~2x fewer nominal bytes and wire-layout zero runs the
+    link compressor crushes (BENCH.md round-3 ingest + wire-layout studies).
+
+    ``rgb`` float32 [H, W, 3] in [0, 1], H and W multiples of 16; ``qy``/
+    ``qc`` float32 [64] quant tables. Returns wire-layout planes
+    (y_dc int16 [Hb, Wb], y_ac int8 [64, Hb, Wb], uv_dc int16 [Hb2, Wb2, 2],
+    uv_ac int8 [2, 64, Hb2, Wb2]) — RGB->YCbCr matmul, 2x2 chroma mean, and
+    per-block 8x8 FDCT matmuls all run on the MXU inside the caller's jit.
+    Same lossy-ness as a quality-``q`` JPEG save (+ rare AC clips at +-127);
+    the host entropy-codes the planes into a real .jpg with no further
+    transform (native jpeg_write_coefficients)."""
+    from facedet_tpu.ops.color import _FWD
+
+    x = rgb * 255.0
+    ycc = x @ jnp.asarray(_FWD).T
+    y = ycc[..., 0]
+    h, w = y.shape
+    cb = ycc[..., 1].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)) + 128.0
+    cr = ycc[..., 2].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)) + 128.0
+
+    c = jnp.asarray(_C)
+
+    def plane(p, q):
+        hb, wb = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = jnp.einsum("ij,xyjk,lk->xyil", c, blocks, c)
+        cq = jnp.round(coef.reshape(hb, wb, 64) / q)
+        dc = jnp.clip(cq[..., 0], -(1 << 15), (1 << 15) - 1).astype(jnp.int16)
+        ac = jnp.clip(cq, -127, 127).astype(jnp.int8)
+        ac = ac.at[..., 0].set(0)
+        return dc, jnp.moveaxis(ac, -1, 0)  # wire layout
+
+    y_dc, y_ac = plane(y, qy)
+    u_dc, u_ac = plane(cb, qc)
+    v_dc, v_ac = plane(cr, qc)
+    return (
+        y_dc,
+        y_ac,
+        jnp.stack([u_dc, v_dc], axis=2),
+        jnp.stack([u_ac, v_ac], axis=0),
+        )
+
+
+def wire_planes_to_dct_image(planes, qy, qc, hw) -> DctImage:
+    """Host-side: wire-layout fetched planes -> :class:`DctImage` (block-major
+    numpy), for decode_dct420_np or the native JPEG writer."""
+    y_dc, y_ac, uv_dc, uv_ac = (np.asarray(p) for p in planes)
+    return DctImage(
+        y_dc=y_dc,
+        y_ac=np.moveaxis(y_ac, 0, -1),
+        uv_dc=uv_dc,
+        uv_ac=np.moveaxis(uv_ac, (0, 1), (2, 3)),
+        qy=np.asarray(qy, np.float32),
+        qc=np.asarray(qc, np.float32),
+        hw=tuple(hw),
+    )
 
 
 def dct420_bytes(h: int, w: int) -> int:

@@ -323,4 +323,91 @@ int jpeg_read_dct420_mem(const unsigned char* buf, long len, short* y_dc,
   return rc;
 }
 
+// Entropy-code DctImage-layout quantized coefficients into a real baseline
+// JPEG file — libjpeg's jpeg_write_coefficients transcoding path, the mirror
+// of jpeg_read_dct420. The source planes come from the TPU (device-side FDCT
+// after super-resolution, ops/jpeg_dct.py::encode_dct420_device): the host
+// never runs a DCT in either direction; it only entropy-codes. yb_h/yb_w are
+// the MCU-padded luma block dims (= ceil(dim/16)*2); height/width the true
+// pixel size written to the header. Returns 0 on success.
+int jpeg_write_dct420(const char* path, const short* y_dc,
+                      const signed char* y_ac, const short* uv_dc,
+                      const signed char* uv_ac, const unsigned short* qy,
+                      const unsigned short* qc, int yb_h, int yb_w,
+                      int height, int width) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  jpeg_compress_struct cinfo;
+  ErrorCtx err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = on_error;
+  if (setjmp(err.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    std::fclose(f);
+    return -2;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_stdio_dest(&cinfo, f);
+  cinfo.image_width = static_cast<JDIMENSION>(width);
+  cinfo.image_height = static_cast<JDIMENSION>(height);
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_YCbCr;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_colorspace(&cinfo, JCS_YCbCr);
+  cinfo.comp_info[0].h_samp_factor = 2;
+  cinfo.comp_info[0].v_samp_factor = 2;
+  for (int ci = 1; ci < 3; ++ci) {
+    cinfo.comp_info[ci].h_samp_factor = 1;
+    cinfo.comp_info[ci].v_samp_factor = 1;
+  }
+  // install the caller's quant tables (slots 0=luma, 1=chroma — the
+  // jpeg_set_defaults assignment of quant_tbl_no already matches)
+  for (int t = 0; t < 2; ++t) {
+    if (cinfo.quant_tbl_ptrs[t] == nullptr)
+      cinfo.quant_tbl_ptrs[t] = jpeg_alloc_quant_table(
+          reinterpret_cast<j_common_ptr>(&cinfo));
+    const unsigned short* q = t == 0 ? qy : qc;
+    for (int k = 0; k < 64; ++k) cinfo.quant_tbl_ptrs[t]->quantval[k] = q[k];
+    cinfo.quant_tbl_ptrs[t]->sent_table = FALSE;
+  }
+  const int cb_h = yb_h / 2, cb_w = yb_w / 2;
+  jvirt_barray_ptr coefs[3];
+  for (int ci = 0; ci < 3; ++ci) {
+    const int rows = ci == 0 ? yb_h : cb_h;
+    const int cols = ci == 0 ? yb_w : cb_w;
+    const int samp = ci == 0 ? 2 : 1;
+    coefs[ci] = (*cinfo.mem->request_virt_barray)(
+        reinterpret_cast<j_common_ptr>(&cinfo), JPOOL_IMAGE, FALSE,
+        static_cast<JDIMENSION>(cols), static_cast<JDIMENSION>(rows),
+        static_cast<JDIMENSION>(samp));
+  }
+  jpeg_write_coefficients(&cinfo, coefs);  // realizes the arrays
+  for (int ci = 0; ci < 3; ++ci) {
+    const int rows = ci == 0 ? yb_h : cb_h;
+    const int cols = ci == 0 ? yb_w : cb_w;
+    for (int row = 0; row < rows; ++row) {
+      JBLOCKARRAY buf = (*cinfo.mem->access_virt_barray)(
+          reinterpret_cast<j_common_ptr>(&cinfo), coefs[ci],
+          static_cast<JDIMENSION>(row), 1, TRUE);
+      for (int col = 0; col < cols; ++col) {
+        JCOEF* blk = buf[0][col];
+        if (ci == 0) {
+          blk[0] = y_dc[row * yb_w + col];
+          const signed char* ac = y_ac + (static_cast<long>(row) * yb_w + col) * 64;
+          for (int k = 1; k < 64; ++k) blk[k] = ac[k];
+        } else {
+          const long base = (static_cast<long>(row) * cb_w + col) * 2 + (ci - 1);
+          blk[0] = uv_dc[base];
+          const signed char* ac = uv_ac + base * 64;
+          for (int k = 1; k < 64; ++k) blk[k] = ac[k];
+        }
+      }
+    }
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  std::fclose(f);
+  return 0;
+}
+
 }  // extern "C"

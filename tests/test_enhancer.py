@@ -97,3 +97,32 @@ def test_catalog():
     assert cat["RealESRGAN_x2plus"]["scale"] == 2
     with pytest.raises(ValueError):
         FaceEnhancer(model_name="nope")
+
+
+def test_enhance_to_jpeg_coefficient_fetch(tmp_path):
+    """enhance_to_jpeg fetches the SR output as device-encoded DCT
+    coefficients and entropy-codes them natively into a real .jpg; pixels
+    must match the raw-RGB fetch path to JPEG-q90 fidelity."""
+    import numpy as np
+    from PIL import Image
+
+    from facedet_tpu.utils.viz import save_image
+
+    rng = np.random.default_rng(3)
+    img = np.clip(
+        np.kron(rng.integers(40, 210, (5, 6, 3)), np.ones((8, 8, 1)))
+        + rng.normal(0, 2, (40, 48, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    src = str(tmp_path / "in.jpg")
+    save_image(src, img, quality=95)
+
+    enh = FaceEnhancer(cfg=TINY, outscale=4, tile=0, half=False)
+    out_jpg = str(tmp_path / "out_dct.jpg")
+    assert enh.enhance_to_jpeg(src, out_jpg, quality=90)
+    got = np.asarray(Image.open(out_jpg).convert("RGB"))
+    assert got.shape == (160, 192, 3)
+
+    ref, _ = enh.enhance_image(np.asarray(Image.open(src).convert("RGB")))
+    err = np.abs(got.astype(float) - ref.astype(float))
+    assert err.mean() < 4.0  # q90 quantization + 4:2:0 chroma only

@@ -196,3 +196,60 @@ def test_native_file_coefficients_overflow_fallback(tmp_path):
     assert isinstance(d, DctImage) and d.hw == (64, 64)
     qy90, _ = quality_tables(90)
     np.testing.assert_array_equal(d.qy, qy90)  # fallback path taken
+
+
+def test_native_jpeg_writer_roundtrip(tmp_path):
+    """save_dct420_jpeg entropy-codes DctImage planes into a real baseline
+    JPEG (native jpeg_write_coefficients). Reloading the file returns
+    bit-identical coefficients over every block covering real pixels (libjpeg
+    replaces MCU dummy-padding blocks with duplicated-DC dummies — invisible
+    in the decoded image), and third parties (PIL) can open it."""
+    from PIL import Image
+
+    from facedet_tpu.data.native_loader import (
+        load_image_dct420,
+        save_dct420_jpeg,
+    )
+
+    img = natural_image(100, 130, seed=9)
+    d = encode_dct420(img, quality=90)
+    path = str(tmp_path / "w.jpg")
+    assert save_dct420_jpeg(path, d)
+
+    d2 = load_image_dct420(path)
+    assert d2.hw == (100, 130)
+    np.testing.assert_array_equal(d.qy, d2.qy)
+    rb, cb = -(-100 // 8), -(-130 // 8)  # real luma block dims
+    np.testing.assert_array_equal(d.y_dc[:rb, :cb], d2.y_dc[:rb, :cb])
+    np.testing.assert_array_equal(d.y_ac[:rb, :cb], d2.y_ac[:rb, :cb])
+    rc_, cc_ = -(-50 // 8), -(-65 // 8)  # real chroma block dims
+    np.testing.assert_array_equal(d.uv_dc[:rc_, :cc_], d2.uv_dc[:rc_, :cc_])
+    np.testing.assert_array_equal(d.uv_ac[:rc_, :cc_], d2.uv_ac[:rc_, :cc_])
+    assert np.asarray(Image.open(path).convert("RGB")).shape == (100, 130, 3)
+
+
+def test_device_encoder_matches_host_encoder():
+    """encode_dct420_device (the fetch-mirror FDCT) quantizes within one
+    step of the host reference encoder and round-trips to the same pixels."""
+    import jax
+    import jax.numpy as jnp
+
+    from facedet_tpu.ops.jpeg_dct import (
+        encode_dct420_device,
+        wire_planes_to_dct_image,
+    )
+
+    img = natural_image(96, 112, seed=4)
+    qy, qc = quality_tables(90)
+    host = encode_dct420(img, quality=90)
+    planes = jax.jit(
+        lambda x: encode_dct420_device(x, jnp.asarray(qy), jnp.asarray(qc))
+    )(jnp.asarray(img, jnp.float32) / 255.0)
+    dev = wire_planes_to_dct_image(planes, qy, qc, (96, 112))
+    assert np.abs(dev.y_ac.astype(int) - host.y_ac.astype(int)).max() <= 1
+    assert np.abs(dev.y_dc.astype(int) - host.y_dc.astype(int)).max() <= 1
+    y_d, _ = decode_dct420_np(dev)
+    y_h, _ = decode_dct420_np(host)
+    # one quant step on a large-q coefficient moves pixels by up to ~q/8
+    assert np.abs(y_d.astype(int) - y_h.astype(int)).max() <= 16
+    assert np.abs(y_d.astype(float) - y_h.astype(float)).mean() < 0.5
