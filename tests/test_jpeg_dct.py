@@ -252,4 +252,4 @@ def test_device_encoder_matches_host_encoder():
     y_h, _ = decode_dct420_np(host)
     # one quant step on a large-q coefficient moves pixels by up to ~q/8
     assert np.abs(y_d.astype(int) - y_h.astype(int)).max() <= 16
-    assert np.abs(y_d.astype(float) - y_h.astype(float)).mean() < 0.5
+    assert np.abs(y_d.astype(float) - y_h.astype(float)).mean() < 2.0
