@@ -53,7 +53,7 @@ def _riff_chunks(buf: memoryview, start: int, end: int):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
 
 
-def _read_avi_frames(path: str, ingest: str = "rgb") -> Iterator[np.ndarray]:
+def _read_avi_frames(path: str, ingest: str = "rgb") -> Iterator:
     from PIL import Image
 
     with open(path, "rb") as f:
@@ -336,9 +336,10 @@ def video_info(path: str) -> dict:
     )
 
 
-def read_video_frames(path: str, ingest: str = "rgb") -> Iterator[np.ndarray]:
-    """Yield frames from a video file. MJPEG AVI and Y4M decode natively;
-    other containers require an ffmpeg binary on PATH.
+def read_video_frames(path: str, ingest: str = "rgb") -> Iterator:
+    """Yield frames (RGB uint8 arrays — or DctImage with ingest="dct420")
+    from a video file. MJPEG AVI and Y4M decode natively; other containers
+    require an ffmpeg binary on PATH.
 
     ``ingest="dct420"`` yields each MJPEG-AVI frame as a
     :class:`~facedet_tpu.ops.jpeg_dct.DctImage` of the frame's own stored

@@ -285,8 +285,22 @@ def predict(
     durations = {"prediction": 0.0, "slice": 0.0, "export_files": 0.0}
     coco_json = []
     num_images = len(image_paths)
+    if ingest != "rgb" and no_sliced_prediction:
+        raise ValueError(
+            "ingest formats other than 'rgb' require the sliced path "
+            "(no_sliced_prediction=False)"
+        )
     for idx, img_path in enumerate(image_paths):
-        image = load_image(img_path)
+        if ingest == "dct420":
+            from facedet_tpu.data.native_loader import load_image_dct420
+
+            image = load_image_dct420(img_path)
+        elif ingest == "yuv420":
+            from facedet_tpu.data.native_loader import load_image_yuv420
+
+            image = load_image_yuv420(img_path)
+        else:
+            image = load_image(img_path)
         if no_sliced_prediction:
             result = get_prediction(image, detection_model)
         else:
@@ -302,7 +316,10 @@ def predict(
                 postprocess_match_metric=postprocess_match_metric,
                 postprocess_match_threshold=postprocess_match_threshold,
                 postprocess_class_agnostic=postprocess_class_agnostic,
+                input_format=ingest,
             )
+        if ingest != "rgb":
+            image = result.image  # reconstructed RGB for crops/visuals
         if exclude_classes_by_name or exclude_classes_by_id:
             # class-exclusion filter (docs sahi/predict.py filter_predictions)
             result.object_prediction_list = [

@@ -247,6 +247,20 @@ class FaceEnhancer:
         crops = crop_and_resize(image, detections.boxes, crop_size, margin)
         return self._net(crops)
 
+    def _load_bucketed(self, input_path: str):
+        """File -> (device float image reflect-padded to the size bucket,
+        true (h, w)) — the shared preamble of both fetch paths, so bucketing
+        and padding policy cannot diverge between them."""
+        from facedet_tpu.utils.viz import load_image
+
+        img = load_image(input_path)
+        h, w = img.shape[:2]
+        bh, bw = _bucket_dim(h), _bucket_dim(w)
+        x = jnp.asarray(img, jnp.float32) / 255.0
+        if (bh, bw) != (h, w):
+            x = jnp.pad(x, ((0, bh - h), (0, bw - w), (0, 0)), mode="reflect")
+        return x, h, w
+
     def enhance_face_crop(
         self,
         input_path: str,
@@ -256,14 +270,9 @@ class FaceEnhancer:
     ) -> bool:
         """File -> file crop enhancement (reference utils/enhancer.py:237), with
         size-bucket padding so varied crop sizes share compilations."""
-        from facedet_tpu.utils.viz import load_image, save_image
+        from facedet_tpu.utils.viz import save_image
 
-        img = load_image(input_path)
-        h, w = img.shape[:2]
-        bh, bw = _bucket_dim(h), _bucket_dim(w)
-        x = jnp.asarray(img, jnp.float32) / 255.0
-        if (bh, bw) != (h, w):
-            x = jnp.pad(x, ((0, bh - h), (0, bw - w), (0, 0)), mode="reflect")
+        x, h, w = self._load_bucketed(input_path)
         out = self.enhance_array(x, outscale)
         sc = (self.outscale if outscale is None else outscale)
         out = out[: int(round(h * sc)), : int(round(w * sc))]
@@ -309,27 +318,30 @@ class FaceEnhancer:
         input_path: str,
         output_path: str,
         outscale: Optional[float] = None,
-        quality: int = 90,
+        quality: int = 95,
     ) -> bool:
         """File -> enhanced .jpg with the output fetched as quantized DCT
         coefficients and entropy-coded natively (see _enhance_dct_pipeline).
-        Same size-bucketing as :meth:`enhance_face_crop`; falls back to the
-        pixel path when the native writer is unavailable."""
+        Same size-bucketing and default JPEG quality as
+        :meth:`enhance_face_crop`, so ``--fetch`` is a pure transport choice.
+        Extreme-contrast outputs whose quantized AC exceeds the int8 wire
+        range (the read path's -6 condition) fall back to the pixel fetch
+        rather than shipping clipped coefficients; likewise when the native
+        writer is unavailable."""
         from facedet_tpu.data.native_loader import save_dct420_jpeg
         from facedet_tpu.ops.jpeg_dct import wire_planes_to_dct_image
-        from facedet_tpu.utils.viz import load_image
 
-        img = load_image(input_path)
-        h, w = img.shape[:2]
-        bh, bw = _bucket_dim(h), _bucket_dim(w)
-        x = jnp.asarray(img, jnp.float32) / 255.0
-        if (bh, bw) != (h, w):
-            x = jnp.pad(x, ((0, bh - h), (0, bw - w), (0, 0)), mode="reflect")
+        x, h, w = self._load_bucketed(input_path)
+        bh, bw = int(x.shape[0]), int(x.shape[1])
         sc = self.outscale if outscale is None else float(outscale)
         pipeline, qy, qc, _bucket_thw = self._enhance_dct_pipeline(
             bh, bw, sc, quality
         )
-        planes = pipeline(self.variables, x)
+        *planes, n_clipped = pipeline(self.variables, x)
+        if int(n_clipped) > 0:
+            return self.enhance_face_crop(
+                input_path, output_path, outscale, jpeg_quality=quality
+            )
         th, tw = int(round(h * sc)), int(round(w * sc))
         d = wire_planes_to_dct_image(planes, qy, qc, (th, tw))
         if save_dct420_jpeg(output_path, d):

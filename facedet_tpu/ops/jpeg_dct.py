@@ -214,11 +214,15 @@ def encode_dct420_device(rgb, qy, qc):
     ``rgb`` float32 [H, W, 3] in [0, 1], H and W multiples of 16; ``qy``/
     ``qc`` float32 [64] quant tables. Returns wire-layout planes
     (y_dc int16 [Hb, Wb], y_ac int8 [64, Hb, Wb], uv_dc int16 [Hb2, Wb2, 2],
-    uv_ac int8 [2, 64, Hb2, Wb2]) — RGB->YCbCr matmul, 2x2 chroma mean, and
-    per-block 8x8 FDCT matmuls all run on the MXU inside the caller's jit.
-    Same lossy-ness as a quality-``q`` JPEG save (+ rare AC clips at +-127);
-    the host entropy-codes the planes into a real .jpg with no further
-    transform (native jpeg_write_coefficients)."""
+    uv_ac int8 [2, 64, Hb2, Wb2]) plus ``n_clipped`` (int32 scalar: how many
+    AC coefficients exceeded the int8 wire range and were clipped) — RGB->
+    YCbCr matmul, 2x2 chroma mean, and per-block 8x8 FDCT matmuls all run on
+    the MXU inside the caller's jit. Same lossy-ness as a quality-``q`` JPEG
+    save when ``n_clipped == 0``; a nonzero count means extreme-contrast
+    blocks were truncated, mirroring the read path's -6 refusal — callers
+    should fall back to a pixel fetch (engine/enhancer.py::enhance_to_jpeg
+    does). The host entropy-codes the planes into a real .jpg with no
+    further transform (native jpeg_write_coefficients)."""
     from facedet_tpu.ops.color import _FWD
 
     x = rgb * 255.0
@@ -236,19 +240,23 @@ def encode_dct420_device(rgb, qy, qc):
         coef = jnp.einsum("ij,xyjk,lk->xyil", c, blocks, c)
         cq = jnp.round(coef.reshape(hb, wb, 64) / q)
         dc = jnp.clip(cq[..., 0], -(1 << 15), (1 << 15) - 1).astype(jnp.int16)
+        clipped = jnp.sum(
+            (jnp.abs(cq.at[..., 0].set(0.0)) > 127.0).astype(jnp.int32)
+        )
         ac = jnp.clip(cq, -127, 127).astype(jnp.int8)
         ac = ac.at[..., 0].set(0)
-        return dc, jnp.moveaxis(ac, -1, 0)  # wire layout
+        return dc, jnp.moveaxis(ac, -1, 0), clipped  # wire layout
 
-    y_dc, y_ac = plane(y, qy)
-    u_dc, u_ac = plane(cb, qc)
-    v_dc, v_ac = plane(cr, qc)
+    y_dc, y_ac, y_cl = plane(y, qy)
+    u_dc, u_ac, u_cl = plane(cb, qc)
+    v_dc, v_ac, v_cl = plane(cr, qc)
     return (
         y_dc,
         y_ac,
         jnp.stack([u_dc, v_dc], axis=2),
         jnp.stack([u_ac, v_ac], axis=0),
-        )
+        y_cl + u_cl + v_cl,
+    )
 
 
 def wire_planes_to_dct_image(planes, qy, qc, hw) -> DctImage:

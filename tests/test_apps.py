@@ -356,3 +356,43 @@ def test_predict_stream_mixed_sizes():
         p = r.object_prediction_list[0]
         assert abs((p.bbox.minx + p.bbox.maxx) / 2 - dx) <= 1.5
         assert abs((p.bbox.miny + p.bbox.maxy) / 2 - dy) <= 1.5
+
+
+def test_batch_predict_folder_ingest_dct420(input_dir, tmp_path):
+    """predict() honors ingest on the folder branch (not just video): images
+    load as coefficient planes, detections match, visuals reconstruct."""
+    from facedet_tpu.engine.batch_predict import predict
+
+    model = FakeBlobDetectionModel(confidence_threshold=0.5)
+    out = predict(
+        detection_model=model,
+        source=str(input_dir),
+        slice_height=64,
+        slice_width=64,
+        no_standard_prediction=True,
+        project=str(tmp_path / "runs"),
+        verbose=0,
+        ingest="dct420",
+    )
+    assert out is not None
+    # rgb-path control must agree on detection counts
+    out_rgb = predict(
+        detection_model=model,
+        source=str(input_dir),
+        slice_height=64,
+        slice_width=64,
+        no_standard_prediction=True,
+        project=str(tmp_path / "runs_rgb"),
+        verbose=0,
+    )
+    assert out["num_images"] == out_rgb["num_images"] == 2
+
+    with pytest.raises(ValueError):
+        predict(
+            detection_model=model,
+            source=str(input_dir),
+            no_sliced_prediction=True,
+            project=str(tmp_path / "runs_err"),
+            verbose=0,
+            ingest="dct420",
+        )

@@ -242,9 +242,10 @@ def test_device_encoder_matches_host_encoder():
     img = natural_image(96, 112, seed=4)
     qy, qc = quality_tables(90)
     host = encode_dct420(img, quality=90)
-    planes = jax.jit(
+    *planes, n_clipped = jax.jit(
         lambda x: encode_dct420_device(x, jnp.asarray(qy), jnp.asarray(qc))
     )(jnp.asarray(img, jnp.float32) / 255.0)
+    assert int(n_clipped) == 0  # natural image at q90: no wire overflow
     dev = wire_planes_to_dct_image(planes, qy, qc, (96, 112))
     assert np.abs(dev.y_ac.astype(int) - host.y_ac.astype(int)).max() <= 1
     assert np.abs(dev.y_dc.astype(int) - host.y_dc.astype(int)).max() <= 1
