@@ -245,7 +245,10 @@ def _yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
     return yuv420_to_rgb_np(y, np.stack([u, v], -1))
 
 
-def _read_y4m_frames(path: str) -> Iterator[np.ndarray]:
+def _read_y4m_frames(path: str, ingest: str = "rgb") -> Iterator:
+    """``ingest="yuv420"`` yields each frame's stored planes as
+    (Y [H,W], UV [H/2,W/2,2]) with ZERO host conversion — Y4M is already
+    planar 4:2:0, the exact layout of the engine's yuv420 upload path."""
     with open(path, "rb") as f:
         header = f.readline().decode("ascii", errors="replace").strip()
         if not header.startswith("YUV4MPEG2"):
@@ -271,7 +274,10 @@ def _read_y4m_frames(path: str) -> Iterator[np.ndarray]:
             y = np.frombuffer(raw[:ysize], np.uint8).reshape(h, w)
             u = np.frombuffer(raw[ysize : ysize + csize], np.uint8).reshape(h // 2, w // 2)
             v = np.frombuffer(raw[ysize + csize :], np.uint8).reshape(h // 2, w // 2)
-            yield _yuv420_to_rgb(y, u, v)
+            if ingest == "yuv420":
+                yield y, np.stack([u, v], axis=-1)
+            else:
+                yield _yuv420_to_rgb(y, u, v)
 
 
 def _y4m_info(path: str) -> dict:
@@ -366,7 +372,9 @@ def read_video_frames(path: str, ingest: str = "rgb") -> Iterator:
                 raise
         yield from _read_ffmpeg_frames(path)
     elif ext == ".y4m":
-        yield from _read_y4m_frames(path)
+        yield from _read_y4m_frames(
+            path, ingest="yuv420" if ingest == "yuv420" else "rgb"
+        )
     elif ext in _FFMPEG_EXTS or ffmpeg_available():
         if not ffmpeg_available():
             raise RuntimeError(

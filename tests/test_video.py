@@ -199,3 +199,48 @@ def test_decode_jpeg_bytes_dct420_matches_file_reader(tmp_path):
     np.testing.assert_array_equal(d_mem.uv_dc, d_file.uv_dc)
     np.testing.assert_array_equal(d_mem.uv_ac, d_file.uv_ac)
     np.testing.assert_array_equal(d_mem.qy, d_file.qy)
+
+
+def test_y4m_yuv420_plane_passthrough(tmp_path):
+    """ingest="yuv420" on a Y4M source yields the file's stored planes
+    untouched, and predict_video runs them through the planar upload path."""
+    from facedet_tpu.data.video import read_video_frames
+    from facedet_tpu.engine.batch_predict import predict_video
+    from facedet_tpu.engine.fake import FakeBlobDetectionModel
+    from facedet_tpu.ops.color import rgb_to_yuv420
+
+    h, w = 96, 128
+    frames_rgb = []
+    for cx in (40, 80):
+        img = np.zeros((h, w, 3), np.uint8)
+        img[30:33, cx - 1 : cx + 2] = 255
+        frames_rgb.append(img)
+    path = str(tmp_path / "clip.y4m")
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F5:1 C420\n".encode())
+        for img in frames_rgb:
+            y, uv = rgb_to_yuv420(img)
+            f.write(b"FRAME\n")
+            f.write(y.tobytes())
+            f.write(uv[..., 0].tobytes())
+            f.write(uv[..., 1].tobytes())
+
+    planes = list(read_video_frames(path, ingest="yuv420"))
+    assert len(planes) == 2 and isinstance(planes[0], tuple)
+    assert planes[0][0].shape == (h, w) and planes[0][1].shape == (h // 2, w // 2, 2)
+
+    model = FakeBlobDetectionModel(confidence_threshold=0.5)
+    out = predict_video(
+        detection_model=model,
+        source=path,
+        slice_height=64,
+        slice_width=64,
+        no_standard_prediction=True,
+        project=str(tmp_path / "runs"),
+        verbose=0,
+        ingest="yuv420",
+    )
+    assert out["num_frames"] == 2
+    import json, os
+    dets = json.load(open(os.path.join(out["export_dir"], "result.json")))
+    assert len(dets) == 2
