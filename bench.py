@@ -215,6 +215,12 @@ def _device_accounting(model, img, cfg, bsz):
             for p in planes
         )
         bytes_h2d = dct420_bytes(bucket_h, bucket_w)
+    elif input_format == "dct420s":
+        # sparse-bitmap wire: nominal bytes vary with content, so report the
+        # actually-staged bytes per image
+        batch_tuple = P._stage_batch_host([img] * bsz, input_format, bucket_h, bucket_w)
+        batch_dev = tuple(jnp.asarray(p) for p in batch_tuple)
+        bytes_h2d = sum(p.nbytes for p in batch_tuple) // bsz
     elif input_format == "yuv420":
         y_p, uv_p = P._pad_yuv_planes(img, bucket_h, bucket_w)
         batch_dev = (
@@ -287,7 +293,8 @@ def _device_accounting(model, img, cfg, bsz):
     return device_s_per_image, spread, flops_per_image, bytes_h2d
 
 
-def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int = 64):
+def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int = 64,
+              ingest: str = "dct420s"):
     """bsz=64: the measured serving sweet spot on the tunneled v5e — dispatch
     and link round-trip overheads amortise over the batch (8->16->32->64
     images/dispatch measured 5.5 -> 8.4 -> 9.7 -> 11.1 img/s in one medium
@@ -322,10 +329,11 @@ def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int 
         postprocess_match_threshold=0.5,
         postprocess_class_agnostic=True,
         # entropy-domain ingest (ops/jpeg_dct.py): quantized DCT coefficients
-        # (the representation JPEG files store) at ~1.53 nominal B/px that
-        # the link's compressor moves ~1.8x faster than YUV planes (97%
-        # zeros); dequant + IDCT run as MXU matmuls fused into the pipeline.
-        input_format="dct420",
+        # (the representation JPEG files store); dequant + IDCT run as MXU
+        # matmuls fused into the pipeline. The dct420s default ships the AC
+        # planes as a sparse bitmap + packed values — ~3-4x fewer nominal
+        # wire bytes than the dense planes (BENCH.md round-3 sparse wire).
+        input_format=ingest,
     )
 
     # pre-encoded coefficient planes stand in for JPEG-direct coefficient
@@ -336,7 +344,7 @@ def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int 
     from facedet_tpu.ops.jpeg_dct import encode_dct420
 
     fmt = cfg.get("input_format", "rgb")
-    if fmt == "dct420":
+    if fmt in ("dct420", "dct420s"):
         planes = encode_dct420(img, quality=90)
     elif fmt == "yuv420":
         planes = rgb_to_yuv420(img)
@@ -435,6 +443,12 @@ def main():
     ap.add_argument("--images", type=int, default=16)
     ap.add_argument("--cpu", action="store_true", help="measure the CPU baseline")
     ap.add_argument("--watchdog", type=int, default=480, help="seconds before emitting best-so-far and exiting (0 = off)")
+    ap.add_argument(
+        "--ingest", default="dct420s",
+        choices=["rgb", "yuv420", "dct420", "dct420s"],
+        help="upload format for the measured stream (default: sparse-bitmap "
+        "DCT coefficients — fewest wire bytes through the tunneled link)",
+    )
     args = ap.parse_args()
 
     if args.watchdog and not args.cpu:
@@ -452,7 +466,10 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    ips, p50, extras = run_bench(args.images)
+    # the CPU baseline keeps its CPU-optimal ingest (see CPU_REFERENCE_IPS
+    # note above); --ingest only steers the TPU measurement
+    ingest = "yuv420" if args.cpu else args.ingest
+    ips, p50, extras = run_bench(args.images, ingest=ingest)
     _PROGRESS["complete"] = True
     _emit(ips, p50, extras)
 

@@ -42,7 +42,7 @@ def process_single_image(
         from facedet_tpu.data.native_loader import load_image_yuv420
 
         image = load_image_yuv420(image_path)
-    elif ingest == "dct420":
+    elif ingest in ("dct420", "dct420s"):
         from facedet_tpu.data.native_loader import load_image_dct420
 
         image = load_image_dct420(image_path)

@@ -88,10 +88,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     ap.add_argument("--overlap", type=float, default=0.2)
     ap.add_argument("--config", default=None, help="PipelineConfig json path")
     ap.add_argument(
-        "--ingest", default="rgb", choices=["rgb", "yuv420", "dct420"],
+        "--ingest", default="rgb",
+        choices=["rgb", "yuv420", "dct420", "dct420s"],
         help="upload format: rgb (3 B/px), yuv420 planes (1.5 B/px, native "
-        "raw-data decode), or dct420 (the file's quantized DCT coefficients "
-        "— no host IDCT, lossless for 4:2:0 JPEGs; BENCH.md ingest study)",
+        "raw-data decode), dct420 (the file's quantized DCT coefficients "
+        "— no host IDCT, lossless for 4:2:0 JPEGs), or dct420s (same "
+        "coefficients as a sparse bitmap + packed values: ~3-4x fewer wire "
+        "bytes; BENCH.md ingest study)",
     )
     return ap
 

@@ -77,7 +77,7 @@ def _read_avi_frames(path: str, ingest: str = "rgb") -> Iterator:
         if not jpeg.startswith(b"\xff\xd8"):
             raise ValueError("AVI stream is not MJPEG (frame is not a JPEG); "
                              "re-encode with MJPEG or install ffmpeg")
-        if ingest == "dct420":
+        if ingest in ("dct420", "dct420s"):
             # each MJPEG frame IS a JPEG: ship its stored coefficients to
             # the TPU (native jpeg_mem_src reader, no host IDCT) for the
             # engine's entropy-domain ingest

@@ -291,7 +291,7 @@ def predict(
             "(no_sliced_prediction=False)"
         )
     for idx, img_path in enumerate(image_paths):
-        if ingest == "dct420":
+        if ingest in ("dct420", "dct420s"):
             from facedet_tpu.data.native_loader import load_image_dct420
 
             image = load_image_dct420(img_path)

@@ -189,6 +189,31 @@ def _get_fused_pipeline(
             uv_ac = jnp.transpose(uv_ac, (2, 3, 0, 1))
             y, uv = decode_dct420_to_yuv_f32(y_dc, y_ac, uv_dc, uv_ac, qy, qc)
             imgf = yuv420_to_rgb_f32(y, uv)
+        elif input_format == "dct420s":
+            # sparse-bitmap AC wire (ops/jpeg_dct.py): the dense AC planes
+            # are mostly zeros the link compressor only partly recovers;
+            # shipping (bitmap, packed nonzero values) cuts upload time
+            # ~3.4x (BENCH.md round-3 sparse-wire A/B). Reconstruction
+            # (bit-unpack + rank cumsum + gather) runs here, next to the
+            # IDCT matmuls it feeds.
+            from facedet_tpu.ops.color import yuv420_to_rgb_f32
+            from facedet_tpu.ops.jpeg_dct import (
+                decode_dct420_to_yuv_f32,
+                unpack_sparse_ac,
+            )
+
+            y_dc, uv_dc, qy, qc, bitmap, vals = image
+            yb_h, yb_w = bucket_h // 8, bucket_w // 8
+            cb_h, cb_w = bucket_h // 16, bucket_w // 16
+            ny = 64 * yb_h * yb_w
+            nc = 2 * 64 * cb_h * cb_w
+            flat = unpack_sparse_ac(bitmap, vals, ny + nc)
+            y_ac = jnp.moveaxis(flat[:ny].reshape(64, yb_h, yb_w), 0, -1)
+            uv_ac = jnp.transpose(
+                flat[ny:].reshape(2, 64, cb_h, cb_w), (2, 3, 0, 1)
+            )
+            y, uv = decode_dct420_to_yuv_f32(y_dc, y_ac, uv_dc, uv_ac, qy, qc)
+            imgf = yuv420_to_rgb_f32(y, uv)
         else:
             imgf = (
                 image.astype(jnp.float32) / 255.0
@@ -378,7 +403,7 @@ def _stage_batch_host(imgs: list, input_format: str, bucket_h: int, bucket_w: in
     breakdown times this exact function, so the measured host-stack cost is
     the production path's."""
     n = len(imgs)
-    if input_format == "dct420":
+    if input_format in ("dct420", "dct420s"):
         from facedet_tpu.ops.jpeg_dct import DctImage, encode_dct420
 
         yb_h, yb_w = bucket_h // 8, bucket_w // 8
@@ -405,6 +430,24 @@ def _stage_batch_host(imgs: list, input_format: str, bucket_h: int, bucket_w: in
             uv_ac[i, :, :, :cy_, :cx_] = np.moveaxis(im.uv_ac, (2, 3), (0, 1))
             qy[i] = im.qy
             qc[i] = im.qc
+        if input_format == "dct420s":
+            # sparse-bitmap wire: pack each image's flat AC (y then uv) into
+            # (bitmap, values) with one batch-shared bucketed capacity
+            from facedet_tpu.ops.jpeg_dct import pack_sparse_ac, sparse_cap_bucket
+
+            flats = [
+                np.concatenate([y_ac[i].ravel(), uv_ac[i].ravel()])
+                for i in range(n)
+            ]
+            total = flats[0].size
+            cap = sparse_cap_bucket(
+                max(int((f != 0).sum()) for f in flats), total
+            )
+            bitmap = np.empty((n, total // 8), np.uint8)
+            vals = np.zeros((n, cap), np.int8)
+            for i, f in enumerate(flats):
+                bitmap[i], vals[i] = pack_sparse_ac(f, cap)
+            return y_dc, uv_dc, qy, qc, bitmap, vals
         return y_dc, y_ac, uv_dc, uv_ac, qy, qc
     if input_format == "yuv420":
         y_b = np.zeros((n, bucket_h, bucket_w), np.uint8)
@@ -479,6 +522,18 @@ def _dispatch_sliced(
         img_dev = tuple(
             jnp.asarray(p)
             for p in _dct_wire(_pad_dct_planes(img, bucket_h, bucket_w))
+        )
+    elif input_format == "dct420s":
+        from facedet_tpu.ops.jpeg_dct import pack_sparse_ac, sparse_cap_bucket
+
+        y_dc, y_ac_w, uv_dc, uv_ac_w, qy, qc = _dct_wire(
+            _pad_dct_planes(img, bucket_h, bucket_w)
+        )
+        flat = np.concatenate([y_ac_w.ravel(), uv_ac_w.ravel()])
+        cap = sparse_cap_bucket(int((flat != 0).sum()), flat.size)
+        bitmap, vals = pack_sparse_ac(flat, cap)
+        img_dev = tuple(
+            jnp.asarray(p) for p in (y_dc, uv_dc, qy, qc, bitmap, vals)
         )
     elif isinstance(img, np.ndarray):
         if img.shape[0] != bucket_h or img.shape[1] != bucket_w:

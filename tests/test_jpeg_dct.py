@@ -254,3 +254,82 @@ def test_device_encoder_matches_host_encoder():
     # one quant step on a large-q coefficient moves pixels by up to ~q/8
     assert np.abs(y_d.astype(int) - y_h.astype(int)).max() <= 16
     assert np.abs(y_d.astype(float) - y_h.astype(float)).mean() < 2.0
+
+
+def test_sparse_ac_roundtrip():
+    from facedet_tpu.ops.jpeg_dct import (
+        pack_sparse_ac,
+        sparse_cap_bucket,
+        unpack_sparse_ac,
+    )
+
+    rng = np.random.default_rng(3)
+    flat = np.where(
+        rng.random(8192) < 0.12, rng.integers(-127, 128, 8192), 0
+    ).astype(np.int8)
+    cap = sparse_cap_bucket(int((flat != 0).sum()), flat.size)
+    bitmap, vals = pack_sparse_ac(flat, cap)
+    assert bitmap.size == flat.size // 8 and vals.size == cap
+    rec = np.asarray(unpack_sparse_ac(jnp.asarray(bitmap), jnp.asarray(vals), flat.size))
+    np.testing.assert_array_equal(rec, flat)
+    # capacity guard: packing more nonzeros than cap must fail loudly
+    with pytest.raises(ValueError):
+        pack_sparse_ac(np.ones(8192, np.int8), cap)
+
+
+def test_sparse_cap_bucket_bounds():
+    from facedet_tpu.ops.jpeg_dct import sparse_cap_bucket
+
+    total = 1 << 20
+    caps = {sparse_cap_bucket(n, total) for n in range(0, total, 4096)}
+    # geometric bucketing: a handful of distinct capacities over the range
+    assert len(caps) < 30
+    for n in (0, 1, 4096, 65537, total - 1, total):
+        assert sparse_cap_bucket(n, total) >= n
+        assert sparse_cap_bucket(n, total) <= total
+
+
+def test_pipeline_parity_dct_vs_sparse():
+    from facedet_tpu.engine.fake import FakeBlobDetectionModel
+    from facedet_tpu.engine.predict import get_sliced_prediction
+
+    m = FakeBlobDetectionModel(confidence_threshold=0.5)
+    img = natural_image(100, 120, seed=9)
+    img[29:32, 39:42] = 255
+    img[69:72, 89:92] = 255
+    d = encode_dct420(img, quality=90)
+    r_dense = get_sliced_prediction(
+        d, m, slice_height=64, slice_width=64, input_format="dct420"
+    )
+    r_sparse = get_sliced_prediction(
+        d, m, slice_height=64, slice_width=64, input_format="dct420s"
+    )
+    ba = np.array([p.bbox.to_xyxy() for p in r_dense.object_prediction_list])
+    bb = np.array([p.bbox.to_xyxy() for p in r_sparse.object_prediction_list])
+    assert ba.shape == bb.shape and len(ba) > 0
+    np.testing.assert_allclose(ba, bb, atol=1e-3)
+    assert r_sparse.image.shape == (100, 120, 3)
+
+
+def test_batched_stream_sparse_parity():
+    from facedet_tpu.engine.fake import FakeBlobDetectionModel
+    from facedet_tpu.engine.predict import predict_stream_batched
+
+    m = FakeBlobDetectionModel(confidence_threshold=0.5)
+    imgs = []
+    for i in range(3):
+        img = natural_image(100, 120, seed=20 + i)
+        img[29 + i : 32 + i, 39:42] = 255
+        imgs.append(encode_dct420(img, quality=90))
+    outs = {}
+    for fmt in ("dct420", "dct420s"):
+        outs[fmt] = [
+            (np.asarray(b.boxes), np.asarray(b.valid))
+            for b in predict_stream_batched(
+                imgs, m, batch_size=2, raw=True,
+                slice_height=64, slice_width=64, input_format=fmt,
+            )
+        ]
+    for (ba, va), (bb, vb) in zip(outs["dct420"], outs["dct420s"]):
+        np.testing.assert_array_equal(va, vb)
+        np.testing.assert_allclose(ba * va[..., None], bb * vb[..., None], atol=1e-3)
