@@ -159,7 +159,9 @@ def _wall_breakdown(model, planes, cfg, bsz: int, rounds: int = 3):
             float(touch(b.ravel()))
         t2 = time.perf_counter()
         batch_arg = batch_dev if isinstance(staged, tuple) else batch_dev[0]
-        jax.device_get(fused(model.variables, batch_arg, offsets_d, valid_d, true_hw))
+        jax.device_get(
+            fused(P._resident_variables(model), batch_arg, offsets_d, valid_d, true_hw)
+        )
         t3 = time.perf_counter()
         if warm:  # first cycle pays compile; discard
             warm = False
@@ -234,7 +236,7 @@ def _device_accounting(model, img, cfg, bsz):
         batch_dev = jnp.asarray(batch)
         bytes_h2d = bucket_h * bucket_w * 3  # uint8 RGB canvas upload
     args = (
-        model.variables,
+        P._resident_variables(model),
         jax.device_put(batch_dev),
         jax.device_put(jnp.asarray(offsets)),
         jax.device_put(jnp.asarray(tile_valid)),

@@ -26,10 +26,11 @@ def main(argv=None):
     ap.add_argument("--tile", type=int, default=400)
     ap.add_argument("--list-models", action="store_true")
     ap.add_argument(
-        "--fetch", default="rgb", choices=["rgb", "dct420"],
-        help="result download format: rgb pixels, or dct420 = device-encoded "
+        "--fetch", default="rgb", choices=["rgb", "dct420", "dct420s"],
+        help="result download format: rgb pixels, dct420 = device-encoded "
         "JPEG coefficients entropy-coded natively into the output .jpg "
-        "(~2x less D2H traffic on a bandwidth-bound link)",
+        "(~2x less D2H traffic on a bandwidth-bound link), or dct420s = "
+        "the same coefficients device-packed sparse (~2.7x fewer bytes)",
     )
     args = ap.parse_args(argv)
 

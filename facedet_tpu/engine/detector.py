@@ -113,6 +113,7 @@ class DetectionModel:
         """Drop params (docs sahi/base.py:107)."""
         self.model = None
         self.variables = None
+        self.__dict__.pop("_resident_vars", None)  # free device copies too
         self._forward_cache().cache_clear()
 
     def tile_forward(
@@ -131,8 +132,13 @@ class DetectionModel:
 
     def forward_tiles(self, tiles: jax.Array, conf_threshold: float | None = None) -> Detections:
         """Jitted tile_forward, cached per (T, S) shape bucket."""
+        from facedet_tpu.engine.predict import _resident_variables
+
         conf = self.confidence_threshold if conf_threshold is None else conf_threshold
-        return self._jitted_forward(float(conf))(self.variables, tiles)
+        # device-committed weights (load_model inits under the CPU device;
+        # passing CPU-committed params to an accelerator jit re-uploads the
+        # whole tree every call — see predict._resident_variables)
+        return self._jitted_forward(float(conf))(_resident_variables(self), tiles)
 
     def _forward_cache(self):
         return self._jitted_forward

@@ -279,7 +279,9 @@ class FaceEnhancer:
         save_image(output_path, np.asarray(jnp.round(out * 255.0).astype(jnp.uint8)), quality=jpeg_quality)
         return True
 
-    def _enhance_dct_pipeline(self, h: int, w: int, outscale: float, quality: int):
+    def _enhance_dct_pipeline(
+        self, h: int, w: int, outscale: float, quality: int, sparse: bool = False
+    ):
         """SR + device-side JPEG-domain encode in ONE jitted dispatch: the
         x4 output (16x the input pixels — the fetch, not the upload, is the
         bandwidth problem here) comes back as quantized DCT coefficient
@@ -288,11 +290,17 @@ class FaceEnhancer:
         coefficient-major int8 planes compress ~1.9x better through the link
         (BENCH.md wire-layout study). The host entropy-codes them straight
         into a .jpg (native jpeg_write_coefficients) — no DCT and no pixel
-        materialization anywhere on the host."""
+        materialization anywhere on the host.
+
+        ``sparse=True`` additionally packs the AC planes on device into a
+        presence bitmap + value array capped at 25% density
+        (ops/jpeg_dct.py::pack_sparse_ac_device) — the fetch mirror of the
+        dct420s ingest wire, ~2.7x fewer nominal download bytes; the
+        returned nnz tells the caller whether the cap held."""
         from facedet_tpu.ops.jpeg_dct import encode_dct420_device, quality_tables
 
         cache = self.__dict__.setdefault("_enh_dct_cache", {})
-        key = (h, w, outscale, quality, self.tile, self.tile_pad)
+        key = (h, w, outscale, quality, self.tile, self.tile_pad, sparse)
         if key in cache:
             return cache[key]
         qy, qc = quality_tables(quality)
@@ -301,13 +309,26 @@ class FaceEnhancer:
         tw = int(round(w * outscale))
         ph, pw = -(-th // 16) * 16, -(-tw // 16) * 16
 
+        # sparse-fetch value capacity: 25% density, far above typical SR
+        # output AC density at q90-95; nnz overflow falls back to dense
+        total_ac = 64 * (ph // 8) * (pw // 8) + 2 * 64 * (ph // 16) * (pw // 16)
+        cap = ((total_ac // 4) + 7) & ~7
+
         @jax.jit
         def pipeline(variables, image):
             out = sr(variables, image)
             out = jnp.pad(
                 out, ((0, ph - th), (0, pw - tw), (0, 0)), mode="edge"
             )
-            return encode_dct420_device(out, jnp.asarray(qy), jnp.asarray(qc))
+            planes = encode_dct420_device(out, jnp.asarray(qy), jnp.asarray(qc))
+            if not sparse:
+                return planes
+            from facedet_tpu.ops.jpeg_dct import pack_sparse_ac_device
+
+            y_dc, y_ac, uv_dc, uv_ac, n_clipped = planes
+            flat = jnp.concatenate([y_ac.reshape(-1), uv_ac.reshape(-1)])
+            bitmap, vals, nnz = pack_sparse_ac_device(flat, cap)
+            return y_dc, uv_dc, bitmap, vals, nnz, n_clipped
 
         entry = (pipeline, qy, qc, (th, tw))
         cache[key] = entry
@@ -319,6 +340,7 @@ class FaceEnhancer:
         output_path: str,
         outscale: Optional[float] = None,
         quality: int = 95,
+        sparse: bool = False,
     ) -> bool:
         """File -> enhanced .jpg with the output fetched as quantized DCT
         coefficients and entropy-coded natively (see _enhance_dct_pipeline).
@@ -327,7 +349,9 @@ class FaceEnhancer:
         Extreme-contrast outputs whose quantized AC exceeds the int8 wire
         range (the read path's -6 condition) fall back to the pixel fetch
         rather than shipping clipped coefficients; likewise when the native
-        writer is unavailable."""
+        writer is unavailable. ``sparse=True`` downloads the AC planes as a
+        bitmap + packed values (the dct420s wire, ~2.7x fewer nominal
+        bytes); density above the 25% cap falls back to the dense fetch."""
         from facedet_tpu.data.native_loader import save_dct420_jpeg
         from facedet_tpu.ops.jpeg_dct import wire_planes_to_dct_image
 
@@ -335,14 +359,41 @@ class FaceEnhancer:
         bh, bw = int(x.shape[0]), int(x.shape[1])
         sc = self.outscale if outscale is None else float(outscale)
         pipeline, qy, qc, _bucket_thw = self._enhance_dct_pipeline(
-            bh, bw, sc, quality
+            bh, bw, sc, quality, sparse=sparse
         )
-        *planes, n_clipped = pipeline(self.variables, x)
-        if int(n_clipped) > 0:
-            return self.enhance_face_crop(
-                input_path, output_path, outscale, jpeg_quality=quality
-            )
         th, tw = int(round(h * sc)), int(round(w * sc))
+        if sparse:
+            from facedet_tpu.ops.jpeg_dct import unpack_sparse_ac_np
+
+            y_dc, uv_dc, bitmap, vals, nnz, n_clipped = pipeline(
+                self.variables, x
+            )
+            if int(n_clipped) > 0:
+                return self.enhance_face_crop(
+                    input_path, output_path, outscale, jpeg_quality=quality
+                )
+            if int(nnz) > vals.shape[0]:  # density above the cap: dense fetch
+                return self.enhance_to_jpeg(
+                    input_path, output_path, outscale, quality, sparse=False
+                )
+            yb_h, yb_w = y_dc.shape
+            cb_h, cb_w = uv_dc.shape[:2]
+            ny = 64 * yb_h * yb_w
+            flat = unpack_sparse_ac_np(
+                np.asarray(bitmap), np.asarray(vals), ny + 2 * 64 * cb_h * cb_w
+            )
+            planes = (
+                np.asarray(y_dc),
+                flat[:ny].reshape(64, yb_h, yb_w),
+                np.asarray(uv_dc),
+                flat[ny:].reshape(2, 64, cb_h, cb_w),
+            )
+        else:
+            *planes, n_clipped = pipeline(self.variables, x)
+            if int(n_clipped) > 0:
+                return self.enhance_face_crop(
+                    input_path, output_path, outscale, jpeg_quality=quality
+                )
         d = wire_planes_to_dct_image(planes, qy, qc, (th, tw))
         if save_dct420_jpeg(output_path, d):
             return True
@@ -410,11 +461,15 @@ def enhance_face_crops_batch(
         src = os.path.join(input_dir, fname)
         dst = os.path.join(output_dir, fname)
         ok = False
-        use_dct = fetch == "dct420" and dst.lower().endswith((".jpg", ".jpeg"))
+        use_dct = fetch in ("dct420", "dct420s") and dst.lower().endswith(
+            (".jpg", ".jpeg")
+        )
         for _ in range(max_retries):
             try:
                 if use_dct:
-                    enhancer.enhance_to_jpeg(src, dst, outscale)
+                    enhancer.enhance_to_jpeg(
+                        src, dst, outscale, sparse=fetch == "dct420s"
+                    )
                 else:
                     enhancer.enhance_face_crop(src, dst, outscale)
                 ok = True

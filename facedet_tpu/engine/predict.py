@@ -289,6 +289,29 @@ def _get_fused_pipeline(
     return entry
 
 
+def _resident_variables(detection_model, device=None):
+    """Weights committed to the dispatch device, cached per device.
+
+    Every load_model initializes under ``jax.default_device(cpu)`` (remote
+    init costs minutes, CLAUDE.md), which COMMITS the params to the CPU
+    device — and a jit executing on the accelerator then re-transfers the
+    whole tree on EVERY dispatch (measured 1.06 s/dispatch for the 39 MB
+    453-leaf yolo11-s tree over the tunnel). device_put once per device and
+    reuse; entries are identity-checked so checkpoint swaps (e.g. the
+    multi-device eval path rotating per-device copies) invalidate naturally."""
+    if device is None:
+        device = jax.devices()[0]
+    cache = detection_model.__dict__.setdefault("_resident_vars", {})
+    entry = cache.get(device)
+    if entry is None or entry[0] is not detection_model.variables:
+        entry = (
+            detection_model.variables,
+            jax.device_put(detection_model.variables, device),
+        )
+        cache[device] = entry
+    return entry[1]
+
+
 def _prepare_image(image):
     from facedet_tpu.ops.jpeg_dct import DctImage
 
@@ -563,15 +586,16 @@ def _dispatch_sliced(
             )
         variables = detection_model._mesh_vars[1]
     else:
-        variables = detection_model.variables
         leaf = img_dev[0] if isinstance(img_dev, tuple) else img_dev
         device = getattr(leaf, "devices", lambda: None)()
         if device:  # keep aux inputs on the image's (possibly non-default) device
             dev = next(iter(device))
+            variables = _resident_variables(detection_model, dev)
             offsets_dev = jax.device_put(jnp.asarray(offsets), dev)
             tile_valid_dev = jax.device_put(jnp.asarray(tile_valid), dev)
             true_hw = jax.device_put(jnp.asarray([h, w], jnp.float32), dev)
         else:
+            variables = _resident_variables(detection_model)
             offsets_dev = jnp.asarray(offsets)
             tile_valid_dev = jnp.asarray(tile_valid)
             true_hw = jnp.asarray([h, w], jnp.float32)
@@ -622,7 +646,7 @@ def _dispatch_sliced_batch(imgs: list, detection_model: DetectionModel, opts: di
         batch_dev = jnp.asarray(staged)
     true_hw = jnp.tile(jnp.asarray([[h, w]], jnp.float32), (len(imgs), 1))
     return fused["batch"](
-        detection_model.variables,
+        _resident_variables(detection_model),
         batch_dev,
         jnp.asarray(offsets),
         jnp.asarray(tile_valid),

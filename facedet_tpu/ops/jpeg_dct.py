@@ -313,6 +313,31 @@ def pack_sparse_ac(flat: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
     return np.packbits(mask), vals
 
 
+def pack_sparse_ac_device(flat, cap: int):
+    """Device mirror of :func:`pack_sparse_ac` for the FETCH direction
+    (sparse download of device-encoded SR coefficients): flat int8 [n]
+    (n % 8 == 0) -> (bitmap uint8 [n/8] big-endian bits, vals int8 [cap],
+    nnz int32). ``cap`` is static; when nnz > cap the overflow values are
+    dropped into a dump slot — callers MUST check the returned nnz and fall
+    back to a dense fetch rather than use truncated values."""
+    mask = flat != 0
+    ranks = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    nnz = jnp.where(mask.shape[0] > 0, ranks[-1] + 1, 0)
+    pos = jnp.where(mask & (ranks < cap), ranks, cap)  # cap = dump slot
+    vals = jnp.zeros(cap + 1, jnp.int8).at[pos].set(flat, mode="drop")[:cap]
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    bitmap = (mask.reshape(-1, 8).astype(jnp.int32) * weights).sum(axis=1)
+    return bitmap.astype(jnp.uint8), vals, nnz
+
+
+def unpack_sparse_ac_np(bitmap, vals, n: int) -> np.ndarray:
+    """Host inverse of the sparse AC wire: (bitmap, vals) -> flat int8 [n]."""
+    bits = np.unpackbits(np.asarray(bitmap, np.uint8))[:n].astype(bool)
+    flat = np.zeros(n, np.int8)
+    flat[bits] = np.asarray(vals)[: int(bits.sum())]
+    return flat
+
+
 def unpack_sparse_ac(bitmap, vals, n: int):
     """Device: (bitmap uint8 [n/8], vals int8 [cap]) -> flat int8 [n].
 

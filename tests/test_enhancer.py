@@ -126,3 +126,58 @@ def test_enhance_to_jpeg_coefficient_fetch(tmp_path):
     ref, _ = enh.enhance_image(np.asarray(Image.open(src).convert("RGB")))
     err = np.abs(got.astype(float) - ref.astype(float))
     assert err.mean() < 4.0  # q90 quantization + 4:2:0 chroma only
+
+
+def test_pack_sparse_ac_device_matches_host():
+    """Device-side sparse pack (fetch direction) must produce exactly the
+    host packer's bitmap/values; nnz reports overflow honestly."""
+    import jax.numpy as jnp
+
+    from facedet_tpu.ops.jpeg_dct import (
+        pack_sparse_ac,
+        pack_sparse_ac_device,
+        unpack_sparse_ac_np,
+    )
+
+    rng = np.random.default_rng(11)
+    flat = np.where(
+        rng.random(4096) < 0.2, rng.integers(-127, 128, 4096), 0
+    ).astype(np.int8)
+    cap = 1024
+    bm_h, vals_h = pack_sparse_ac(flat, cap)
+    bm_d, vals_d, nnz = pack_sparse_ac_device(jnp.asarray(flat), cap)
+    assert int(nnz) == int((flat != 0).sum())
+    np.testing.assert_array_equal(np.asarray(bm_d), bm_h)
+    np.testing.assert_array_equal(np.asarray(vals_d), vals_h)
+    rec = unpack_sparse_ac_np(np.asarray(bm_d), np.asarray(vals_d), flat.size)
+    np.testing.assert_array_equal(rec, flat)
+    # overflow: nnz must exceed the tiny cap so callers can fall back
+    _, _, nnz2 = pack_sparse_ac_device(jnp.asarray(flat), 8)
+    assert int(nnz2) > 8
+
+
+def test_enhance_to_jpeg_sparse_fetch_matches_dense(tmp_path):
+    """sparse=True (dct420s fetch wire) must write byte-compatible pixels
+    with the dense coefficient fetch — transport only, zero fidelity cost."""
+    from PIL import Image
+
+    from facedet_tpu.utils.viz import save_image
+
+    rng = np.random.default_rng(5)
+    img = np.clip(
+        np.kron(rng.integers(40, 210, (5, 6, 3)), np.ones((8, 8, 1)))
+        + rng.normal(0, 2, (40, 48, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    src = str(tmp_path / "in.jpg")
+    save_image(src, img, quality=95)
+
+    enh = FaceEnhancer(cfg=TINY, outscale=4, tile=0, half=False)
+    out_dense = str(tmp_path / "out_dense.jpg")
+    out_sparse = str(tmp_path / "out_sparse.jpg")
+    assert enh.enhance_to_jpeg(src, out_dense, quality=90)
+    assert enh.enhance_to_jpeg(src, out_sparse, quality=90, sparse=True)
+    a = np.asarray(Image.open(out_dense).convert("RGB"))
+    b = np.asarray(Image.open(out_sparse).convert("RGB"))
+    assert a.shape == b.shape == (160, 192, 3)
+    np.testing.assert_array_equal(a, b)
