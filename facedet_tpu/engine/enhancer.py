@@ -294,7 +294,7 @@ class FaceEnhancer:
 
         ``sparse=True`` additionally packs the AC planes on device into a
         presence bitmap + value array capped at 25% density
-        (ops/jpeg_dct.py::pack_sparse_ac_device) — the fetch mirror of the
+        (ops/jpeg_dct.py::pack_sparse_bitmap_device) — the fetch mirror of the
         dct420s ingest wire, ~2.7x fewer nominal download bytes; the
         returned nnz tells the caller whether the cap held."""
         from facedet_tpu.ops.jpeg_dct import encode_dct420_device, quality_tables
@@ -323,11 +323,11 @@ class FaceEnhancer:
             planes = encode_dct420_device(out, jnp.asarray(qy), jnp.asarray(qc))
             if not sparse:
                 return planes
-            from facedet_tpu.ops.jpeg_dct import pack_sparse_ac_device
+            from facedet_tpu.ops.jpeg_dct import pack_sparse_bitmap_device
 
             y_dc, y_ac, uv_dc, uv_ac, n_clipped = planes
             flat = jnp.concatenate([y_ac.reshape(-1), uv_ac.reshape(-1)])
-            bitmap, vals, nnz = pack_sparse_ac_device(flat, cap)
+            bitmap, vals, nnz = pack_sparse_bitmap_device(flat, cap)
             return y_dc, uv_dc, bitmap, vals, nnz, n_clipped
 
         entry = (pipeline, qy, qc, (th, tw))
@@ -363,7 +363,7 @@ class FaceEnhancer:
         )
         th, tw = int(round(h * sc)), int(round(w * sc))
         if sparse:
-            from facedet_tpu.ops.jpeg_dct import unpack_sparse_ac_np
+            from facedet_tpu.ops.jpeg_dct import unpack_sparse_bitmap_np
 
             y_dc, uv_dc, bitmap, vals, nnz, n_clipped = pipeline(
                 self.variables, x
@@ -379,7 +379,7 @@ class FaceEnhancer:
             yb_h, yb_w = y_dc.shape
             cb_h, cb_w = uv_dc.shape[:2]
             ny = 64 * yb_h * yb_w
-            flat = unpack_sparse_ac_np(
+            flat = unpack_sparse_bitmap_np(
                 np.asarray(bitmap), np.asarray(vals), ny + 2 * 64 * cb_h * cb_w
             )
             planes = (

@@ -190,24 +190,25 @@ def _get_fused_pipeline(
             y, uv = decode_dct420_to_yuv_f32(y_dc, y_ac, uv_dc, uv_ac, qy, qc)
             imgf = yuv420_to_rgb_f32(y, uv)
         elif input_format == "dct420s":
-            # sparse-bitmap AC wire (ops/jpeg_dct.py): the dense AC planes
-            # are mostly zeros the link compressor only partly recovers;
-            # shipping (bitmap, packed nonzero values) cuts upload time
-            # ~3.4x (BENCH.md round-3 sparse-wire A/B). Reconstruction
-            # (bit-unpack + rank cumsum + gather) runs here, next to the
-            # IDCT matmuls it feeds.
+            # sparse AC wire (ops/jpeg_dct.py): the dense AC planes are
+            # mostly zeros the link compressor only partly recovers;
+            # shipping (position deltas, nonzero values) cuts upload time
+            # ~3.4x (BENCH.md round-3 sparse-wire A/B). Reconstruction is
+            # a cap-sized cumsum + scatter here, next to the IDCT matmuls
+            # it feeds (~0.06 s per 64-image batch; the bitmap variant's
+            # n-sized rank gather cost 1.9 s — scalarized on TPU).
             from facedet_tpu.ops.color import yuv420_to_rgb_f32
             from facedet_tpu.ops.jpeg_dct import (
                 decode_dct420_to_yuv_f32,
                 unpack_sparse_ac,
             )
 
-            y_dc, uv_dc, qy, qc, bitmap, vals = image
+            y_dc, uv_dc, qy, qc, deltas, vals = image
             yb_h, yb_w = bucket_h // 8, bucket_w // 8
             cb_h, cb_w = bucket_h // 16, bucket_w // 16
             ny = 64 * yb_h * yb_w
             nc = 2 * 64 * cb_h * cb_w
-            flat = unpack_sparse_ac(bitmap, vals, ny + nc)
+            flat = unpack_sparse_ac(deltas, vals, ny + nc)
             y_ac = jnp.moveaxis(flat[:ny].reshape(64, yb_h, yb_w), 0, -1)
             uv_ac = jnp.transpose(
                 flat[ny:].reshape(2, 64, cb_h, cb_w), (2, 3, 0, 1)
@@ -454,9 +455,13 @@ def _stage_batch_host(imgs: list, input_format: str, bucket_h: int, bucket_w: in
             qy[i] = im.qy
             qc[i] = im.qc
         if input_format == "dct420s":
-            # sparse-bitmap wire: pack each image's flat AC (y then uv) into
-            # (bitmap, values) with one batch-shared bucketed capacity
-            from facedet_tpu.ops.jpeg_dct import pack_sparse_ac, sparse_cap_bucket
+            # sparse wire: pack each image's flat AC (y then uv) into
+            # (position deltas, values) with one batch-shared bucketed cap
+            from facedet_tpu.ops.jpeg_dct import (
+                pack_sparse_ac,
+                sparse_cap_bucket,
+                sparse_nnz_entries,
+            )
 
             flats = [
                 np.concatenate([y_ac[i].ravel(), uv_ac[i].ravel()])
@@ -464,13 +469,13 @@ def _stage_batch_host(imgs: list, input_format: str, bucket_h: int, bucket_w: in
             ]
             total = flats[0].size
             cap = sparse_cap_bucket(
-                max(int((f != 0).sum()) for f in flats), total
+                max(sparse_nnz_entries(f) for f in flats), total
             )
-            bitmap = np.empty((n, total // 8), np.uint8)
+            deltas = np.zeros((n, cap), np.uint16)
             vals = np.zeros((n, cap), np.int8)
             for i, f in enumerate(flats):
-                bitmap[i], vals[i] = pack_sparse_ac(f, cap)
-            return y_dc, uv_dc, qy, qc, bitmap, vals
+                deltas[i], vals[i] = pack_sparse_ac(f, cap)
+            return y_dc, uv_dc, qy, qc, deltas, vals
         return y_dc, y_ac, uv_dc, uv_ac, qy, qc
     if input_format == "yuv420":
         y_b = np.zeros((n, bucket_h, bucket_w), np.uint8)
@@ -547,16 +552,20 @@ def _dispatch_sliced(
             for p in _dct_wire(_pad_dct_planes(img, bucket_h, bucket_w))
         )
     elif input_format == "dct420s":
-        from facedet_tpu.ops.jpeg_dct import pack_sparse_ac, sparse_cap_bucket
+        from facedet_tpu.ops.jpeg_dct import (
+            pack_sparse_ac,
+            sparse_cap_bucket,
+            sparse_nnz_entries,
+        )
 
         y_dc, y_ac_w, uv_dc, uv_ac_w, qy, qc = _dct_wire(
             _pad_dct_planes(img, bucket_h, bucket_w)
         )
         flat = np.concatenate([y_ac_w.ravel(), uv_ac_w.ravel()])
-        cap = sparse_cap_bucket(int((flat != 0).sum()), flat.size)
-        bitmap, vals = pack_sparse_ac(flat, cap)
+        cap = sparse_cap_bucket(sparse_nnz_entries(flat), flat.size)
+        deltas, vals = pack_sparse_ac(flat, cap)
         img_dev = tuple(
-            jnp.asarray(p) for p in (y_dc, uv_dc, qy, qc, bitmap, vals)
+            jnp.asarray(p) for p in (y_dc, uv_dc, qy, qc, deltas, vals)
         )
     elif isinstance(img, np.ndarray):
         if img.shape[0] != bucket_h or img.shape[1] != bucket_w:

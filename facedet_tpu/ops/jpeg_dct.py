@@ -281,15 +281,20 @@ def dct420_bytes(h: int, w: int) -> int:
     return yb * 64 + yb * 2 + cb * 64 + cb * 2  # ac int8 + dc int16
 
 
-# --- sparse-bitmap AC wire encoding ("dct420s" ingest) ---------------------
+# --- sparse AC wire encoding ("dct420s" ingest) -----------------------------
 #
 # The dense AC planes are ~85-97% zeros; the link compressor recovers only
-# ~1.9x of that redundancy. Shipping an explicit (bitmap, packed values)
-# pair instead cuts NOMINAL bytes ~3-4x and measured upload time ~3.4x on
-# the real tunnel (BENCH.md round-3 sparse-wire A/B: 16 images of AC,
-# dense 5.70 s median vs bitmap 1.67 s). The device reconstructs the dense
-# planes with a bit-unpack + rank cumsum + gather — a few ms of HBM-bound
-# work next to the IDCT matmuls it feeds.
+# ~1.9x of that redundancy. Shipping an explicit sparse pair instead cuts
+# NOMINAL bytes ~3-6x and measured upload time ~3.4x on the real tunnel
+# (BENCH.md round-3 sparse-wire A/B). Wire format: uint16 POSITION DELTAS
+# between consecutive nonzeros + the int8 values, both padded to a bucketed
+# capacity. Deltas (JPEG's own run-length idea) were chosen over a presence
+# bitmap after device profiling: reconstructing from a bitmap needs an
+# n-sized rank gather that XLA scalarizes (~1.9 s per 64-image batch on the
+# v5e); delta decode is a cap-sized cumsum + scatter (~0.06 s measured) and
+# the nominal bytes are smaller at photo-typical densities too. Delta
+# overflow (a >65534 zero run) inserts dummy entries with value 0 — they
+# scatter a zero onto a zero coefficient, a no-op by construction.
 
 
 def sparse_cap_bucket(nnz: int, total: int) -> int:
@@ -301,25 +306,88 @@ def sparse_cap_bucket(nnz: int, total: int) -> int:
     return min(cap, total)
 
 
+_DELTA_MAX = 65534  # max encodable gap; larger runs insert value-0 dummies
+
+
+def sparse_nnz_entries(flat: np.ndarray) -> int:
+    """Number of wire entries pack_sparse_ac needs for ``flat`` (true
+    nonzeros + overflow dummies + the parking jump) — for capacity sizing."""
+    nz = np.flatnonzero(flat)
+    if nz.size == 0:
+        return 1
+    gaps = np.diff(nz, prepend=-1)
+    return int(nz.size + ((gaps - 1) // _DELTA_MAX).sum()) + 1
+
+
 def pack_sparse_ac(flat: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
-    """Host: flat int8 AC coefficients (size % 8 == 0) -> (bitmap uint8
-    [n/8] big-endian bit order, values int8 [cap] zero-padded)."""
-    mask = flat != 0
-    nnz = int(mask.sum())
-    if nnz > cap:
-        raise ValueError(f"sparse AC capacity {cap} < nnz {nnz}")
+    """Host: flat int8 AC coefficients [n] -> (position deltas uint16 [cap],
+    values int8 [cap]).
+
+    Entry k advances the write position by deltas[k] (position starts at -1)
+    and writes vals[k] there. Gaps above _DELTA_MAX emit dummy entries with
+    value 0 — their zero lands on a zero coefficient, a no-op. After the
+    last real entry one extra delta parks the position past the nonzeros so
+    the zero padding tail (delta 0) rewrites a zero coefficient instead of
+    the last real value; the device decode drops writes at/after slot n."""
+    n = flat.size
+    nz = np.flatnonzero(flat)
+    gaps = np.diff(nz, prepend=-1)
+    n_dummy = (gaps - 1) // _DELTA_MAX  # per real entry, preceding dummies
+    total = int(nz.size + n_dummy.sum()) + 1
+    if total > cap:
+        raise ValueError(f"sparse AC capacity {cap} < entries {total}")
+    deltas = np.zeros(cap, np.uint16)
     vals = np.zeros(cap, np.int8)
-    vals[:nnz] = flat[mask]
-    return np.packbits(mask), vals
+    real_pos = np.cumsum(n_dummy + 1) - 1  # wire slot of each real entry
+    # dummy slots advance by the max gap; real slots carry the remainder
+    deltas[: total - 1] = _DELTA_MAX
+    deltas[real_pos] = gaps - n_dummy * _DELTA_MAX
+    vals[real_pos] = flat[nz]
+    # park the tail past the last nonzero (onto zero coefficients / the
+    # dump slot) so padding entries (delta 0, val 0) stay no-ops
+    prev = int(nz[-1]) if nz.size else -1
+    deltas[total - 1] = min(n - prev, _DELTA_MAX)
+    return deltas, vals
 
 
-def pack_sparse_ac_device(flat, cap: int):
-    """Device mirror of :func:`pack_sparse_ac` for the FETCH direction
-    (sparse download of device-encoded SR coefficients): flat int8 [n]
-    (n % 8 == 0) -> (bitmap uint8 [n/8] big-endian bits, vals int8 [cap],
-    nnz int32). ``cap`` is static; when nnz > cap the overflow values are
-    dropped into a dump slot — callers MUST check the returned nnz and fall
-    back to a dense fetch rather than use truncated values."""
+def unpack_sparse_ac(deltas, vals, n: int):
+    """Device inverse of :func:`pack_sparse_ac`: (deltas uint16 [cap],
+    vals int8 [cap]) -> flat int8 [n].
+
+    A cap-sized cumsum + scatter. This formulation exists because the
+    bitmap alternative needs an n-sized rank GATHER that XLA scalarizes on
+    TPU — measured 1.91 s vs 0.06 s for this scatter on a 64-image batch
+    (BENCH.md round-3 sparse-wire follow-up). Writes at/after slot n (the
+    parking tail and zero padding) land in a dump slot and are dropped."""
+    pos = jnp.cumsum(deltas.astype(jnp.int32)) - 1
+    pos = jnp.minimum(pos, n)  # n = dump slot
+    return jnp.zeros(n + 1, jnp.int8).at[pos].set(vals, mode="drop")[:n]
+
+
+def unpack_sparse_ac_np(deltas, vals, n: int) -> np.ndarray:
+    """Host inverse of :func:`pack_sparse_ac` (tests/debug)."""
+    pos = np.cumsum(np.asarray(deltas, np.int64)) - 1
+    flat = np.zeros(n + 1, np.int8)
+    keep = pos <= n
+    flat[np.minimum(pos[keep], n)] = np.asarray(vals)[keep]
+    return flat[:n]
+
+
+# --- sparse-bitmap FETCH wire (SR coefficient download) ---------------------
+#
+# The fetch direction packs on DEVICE, where the cheap ops are the inverse
+# of the ingest's: a bit-pack + rank scatter runs inside the SR dispatch at
+# HBM speed, while producing position deltas would need the expensive
+# select; the HOST side then pays the (cheap for it) bitmap rank expansion.
+
+
+def pack_sparse_bitmap_device(flat, cap: int):
+    """Device pack for the FETCH direction (sparse download of
+    device-encoded SR coefficients): flat int8 [n] (n % 8 == 0) ->
+    (bitmap uint8 [n/8] big-endian bits, vals int8 [cap], nnz int32).
+    ``cap`` is static; when nnz > cap the overflow values are dropped into
+    a dump slot — callers MUST check the returned nnz and fall back to a
+    dense fetch rather than use truncated values."""
     mask = flat != 0
     ranks = jnp.cumsum(mask.astype(jnp.int32)) - 1
     nnz = jnp.where(mask.shape[0] > 0, ranks[-1] + 1, 0)
@@ -330,21 +398,9 @@ def pack_sparse_ac_device(flat, cap: int):
     return bitmap.astype(jnp.uint8), vals, nnz
 
 
-def unpack_sparse_ac_np(bitmap, vals, n: int) -> np.ndarray:
-    """Host inverse of the sparse AC wire: (bitmap, vals) -> flat int8 [n]."""
+def unpack_sparse_bitmap_np(bitmap, vals, n: int) -> np.ndarray:
+    """Host inverse of the sparse-bitmap fetch wire -> flat int8 [n]."""
     bits = np.unpackbits(np.asarray(bitmap, np.uint8))[:n].astype(bool)
     flat = np.zeros(n, np.int8)
     flat[bits] = np.asarray(vals)[: int(bits.sum())]
     return flat
-
-
-def unpack_sparse_ac(bitmap, vals, n: int):
-    """Device: (bitmap uint8 [n/8], vals int8 [cap]) -> flat int8 [n].
-
-    The k-th set bit takes vals[k]: rank = cumsum(bits) - 1, then a gather.
-    jit/vmap-friendly; cumsum is one HBM pass over int32."""
-    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
-    bits = ((bitmap[:, None] >> shifts) & jnp.uint8(1)).reshape(-1)[:n]
-    ranks = jnp.cumsum(bits.astype(jnp.int32)) - 1
-    idx = jnp.clip(ranks, 0, vals.shape[0] - 1)
-    return jnp.where(bits.astype(bool), vals[idx], jnp.int8(0))

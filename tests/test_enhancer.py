@@ -128,15 +128,14 @@ def test_enhance_to_jpeg_coefficient_fetch(tmp_path):
     assert err.mean() < 4.0  # q90 quantization + 4:2:0 chroma only
 
 
-def test_pack_sparse_ac_device_matches_host():
-    """Device-side sparse pack (fetch direction) must produce exactly the
-    host packer's bitmap/values; nnz reports overflow honestly."""
+def test_pack_sparse_bitmap_device_matches_numpy():
+    """Device-side sparse-bitmap pack (fetch direction) must produce the
+    numpy-reference bitmap/values; nnz reports overflow honestly."""
     import jax.numpy as jnp
 
     from facedet_tpu.ops.jpeg_dct import (
-        pack_sparse_ac,
-        pack_sparse_ac_device,
-        unpack_sparse_ac_np,
+        pack_sparse_bitmap_device,
+        unpack_sparse_bitmap_np,
     )
 
     rng = np.random.default_rng(11)
@@ -144,15 +143,18 @@ def test_pack_sparse_ac_device_matches_host():
         rng.random(4096) < 0.2, rng.integers(-127, 128, 4096), 0
     ).astype(np.int8)
     cap = 1024
-    bm_h, vals_h = pack_sparse_ac(flat, cap)
-    bm_d, vals_d, nnz = pack_sparse_ac_device(jnp.asarray(flat), cap)
-    assert int(nnz) == int((flat != 0).sum())
-    np.testing.assert_array_equal(np.asarray(bm_d), bm_h)
-    np.testing.assert_array_equal(np.asarray(vals_d), vals_h)
-    rec = unpack_sparse_ac_np(np.asarray(bm_d), np.asarray(vals_d), flat.size)
+    mask = flat != 0
+    bm_ref = np.packbits(mask)
+    vals_ref = np.zeros(cap, np.int8)
+    vals_ref[: int(mask.sum())] = flat[mask]
+    bm_d, vals_d, nnz = pack_sparse_bitmap_device(jnp.asarray(flat), cap)
+    assert int(nnz) == int(mask.sum())
+    np.testing.assert_array_equal(np.asarray(bm_d), bm_ref)
+    np.testing.assert_array_equal(np.asarray(vals_d), vals_ref)
+    rec = unpack_sparse_bitmap_np(np.asarray(bm_d), np.asarray(vals_d), flat.size)
     np.testing.assert_array_equal(rec, flat)
     # overflow: nnz must exceed the tiny cap so callers can fall back
-    _, _, nnz2 = pack_sparse_ac_device(jnp.asarray(flat), 8)
+    _, _, nnz2 = pack_sparse_bitmap_device(jnp.asarray(flat), 8)
     assert int(nnz2) > 8
 
 

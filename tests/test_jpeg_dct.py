@@ -260,21 +260,57 @@ def test_sparse_ac_roundtrip():
     from facedet_tpu.ops.jpeg_dct import (
         pack_sparse_ac,
         sparse_cap_bucket,
+        sparse_nnz_entries,
         unpack_sparse_ac,
+        unpack_sparse_ac_np,
     )
 
     rng = np.random.default_rng(3)
     flat = np.where(
         rng.random(8192) < 0.12, rng.integers(-127, 128, 8192), 0
     ).astype(np.int8)
-    cap = sparse_cap_bucket(int((flat != 0).sum()), flat.size)
-    bitmap, vals = pack_sparse_ac(flat, cap)
-    assert bitmap.size == flat.size // 8 and vals.size == cap
-    rec = np.asarray(unpack_sparse_ac(jnp.asarray(bitmap), jnp.asarray(vals), flat.size))
+    cap = sparse_cap_bucket(sparse_nnz_entries(flat), flat.size)
+    deltas, vals = pack_sparse_ac(flat, cap)
+    assert deltas.size == vals.size == cap and deltas.dtype == np.uint16
+    rec = np.asarray(unpack_sparse_ac(jnp.asarray(deltas), jnp.asarray(vals), flat.size))
     np.testing.assert_array_equal(rec, flat)
+    np.testing.assert_array_equal(unpack_sparse_ac_np(deltas, vals, flat.size), flat)
     # capacity guard: packing more nonzeros than cap must fail loudly
     with pytest.raises(ValueError):
         pack_sparse_ac(np.ones(8192, np.int8), cap)
+
+
+def test_sparse_ac_delta_overflow_and_edges():
+    from facedet_tpu.ops.jpeg_dct import (
+        pack_sparse_ac,
+        sparse_nnz_entries,
+        unpack_sparse_ac,
+        unpack_sparse_ac_np,
+    )
+
+    # zero gaps longer than the uint16 delta range force dummy entries
+    n = 200_000
+    flat = np.zeros(n, np.int8)
+    for pos, v in ((0, 5), (70_000, -3), (199_999, 7)):  # gaps straddle 65534
+        flat[pos] = v
+    entries = sparse_nnz_entries(flat)
+    assert entries > 4  # dummies were counted
+    deltas, vals = pack_sparse_ac(flat, entries)
+    np.testing.assert_array_equal(unpack_sparse_ac_np(deltas, vals, n), flat)
+    rec = np.asarray(unpack_sparse_ac(jnp.asarray(deltas), jnp.asarray(vals), n))
+    np.testing.assert_array_equal(rec, flat)
+    # all-zero input round-trips through the parking entry alone
+    z = np.zeros(1024, np.int8)
+    dz, vz = pack_sparse_ac(z, 8)
+    np.testing.assert_array_equal(unpack_sparse_ac_np(dz, vz, z.size), z)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_sparse_ac(jnp.asarray(dz), jnp.asarray(vz), z.size)), z
+    )
+    # zero padding after the parking entry must not clobber the last value
+    tail = np.zeros(100, np.int8)
+    tail[99] = 9
+    dt, vt = pack_sparse_ac(tail, 64)
+    np.testing.assert_array_equal(unpack_sparse_ac_np(dt, vt, 100), tail)
 
 
 def test_sparse_cap_bucket_bounds():
