@@ -132,9 +132,12 @@ def enhance_first_pipeline(
 
     eh, ew = int(enhanced.shape[0]), int(enhanced.shape[1])
     sh, sw, oh, ow = _slice_params(slice_policy, eh, ew, sc)
-    enhanced8 = np.asarray(jnp.round(enhanced * 255.0).astype(jnp.uint8))
+    # the SR output stays ON DEVICE through the sliced detection (a x4
+    # output is 16x the original pixels — fetching it only to re-upload the
+    # padded canvas costs two transfers of the largest tensor in the
+    # system); the single display fetch below doubles as enhanced_image
     result = get_sliced_prediction(
-        enhanced8,
+        enhanced,
         detection_model,
         slice_height=sh,
         slice_width=sw,
@@ -167,7 +170,7 @@ def enhance_first_pipeline(
         durations_in_seconds={**result.durations_in_seconds, "enhance": enhance_dt},
         detections=det,
     )
-    out.enhanced_image = enhanced8  # type: ignore[attr-defined]
+    out.enhanced_image = result.image  # type: ignore[attr-defined]
     return out
 
 

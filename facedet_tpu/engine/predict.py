@@ -323,6 +323,12 @@ def _prepare_image(image):
         if y.ndim != 2 or uv.ndim != 3 or uv.shape[-1] != 2:
             raise ValueError("yuv420 input must be (Y [H,W], UV [h2,w2,2])")
         return image
+    if isinstance(image, jax.Array) and image.ndim == 3:
+        # device-resident input (e.g. the enhance-first pipeline's SR output,
+        # 16x the original pixels): keep it on device — fetching it to host
+        # only to re-upload the padded canvas costs two full transfers of
+        # the largest tensor in the system over the tunneled link
+        return image
     img = np.asarray(image)
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
@@ -370,6 +376,11 @@ def _display_image(img) -> np.ndarray:
         from facedet_tpu.ops.color import yuv420_to_rgb_np
 
         return yuv420_to_rgb_np(img[0], img[1])
+    if isinstance(img, jax.Array):  # device-resident input: fetch for display
+        arr = np.asarray(img)
+        if arr.dtype != np.uint8:
+            arr = np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
+        return arr
     return img
 
 
@@ -874,6 +885,7 @@ def get_sliced_prediction(
     input_format: str = "rgb",
     mesh=None,
     verbose: int = 0,
+    return_image: bool = True,
 ) -> PredictionResult:
     """Sliced inference with global merge (docs sahi/predict.py:142).
 
@@ -883,6 +895,13 @@ def get_sliced_prediction(
     :295-298, a CPU-memory relief valve) is accepted for compatibility and
     folded into ``merge_capacity`` — the static-capacity merge already bounds
     memory deterministically.
+
+    ``image`` may be a DEVICE array (jax.Array, float [0,1] or uint8): it is
+    sliced/padded on device with no host round-trip — the enhance-first
+    pipeline feeds its SR output through directly, saving two transfers of
+    the largest tensor in the system. ``return_image=False`` skips the
+    display fetch (PredictionResult.image is None) for throughput callers
+    that only want boxes.
     """
     if merge_buffer_length is not None:
         merge_capacity = min(merge_capacity, max(int(merge_buffer_length), 64))
@@ -924,7 +943,7 @@ def get_sliced_prediction(
             + ", ".join(f"{k}={v:.3f}s" for k, v in durations.items())
         )
     return PredictionResult(
-        image=_display_image(img),
+        image=_display_image(img) if return_image else None,
         object_prediction_list=preds,
         durations_in_seconds=durations,
         detections=merged,

@@ -271,7 +271,14 @@ class OfficialWiderFaceEvaluator:
                     img, self.detection_model, self.face_size_threshold
                 )
             if enhance:
-                inference_img, _ = self.enhancer.enhance_image(img)
+                # keep the SR output on device: the sliced path slices it
+                # there (engine/predict.py), skipping the fetch+re-upload of
+                # a tensor outscale^2 times the original
+                import jax.numpy as jnp
+
+                inference_img = self.enhancer.enhance_array(
+                    jnp.asarray(img, jnp.float32) / 255.0
+                )
                 was_enhanced = True
 
         old_conf = self.detection_model.confidence_threshold
@@ -297,8 +304,13 @@ class OfficialWiderFaceEvaluator:
                     postprocess_match_threshold=0.5,
                     postprocess_class_agnostic=True,
                     merge_capacity=2048,
+                    return_image=False,  # eval wants boxes, not a display fetch
                 )
             else:
+                if was_enhanced:  # the standard path letterboxes on host
+                    inference_img = np.clip(
+                        np.rint(np.asarray(inference_img) * 255.0), 0, 255
+                    ).astype(np.uint8)
                 result = get_prediction(inference_img, self.detection_model)
         finally:
             self.detection_model.confidence_threshold = old_conf

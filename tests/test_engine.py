@@ -190,3 +190,56 @@ def test_predict_stream_batched_double_buffered():
         perform_standard_pred=False, raw=True,
     )))
     assert raw.boxes.ndim == 3 and raw.boxes.shape[0] == 2
+
+
+def test_sliced_prediction_device_array_input():
+    """A device-resident float image (the enhance-first pipeline's SR
+    output) slices on device with no host round-trip and matches the
+    host-numpy path; return_image=False skips the display fetch."""
+    import jax.numpy as jnp
+
+    from facedet_tpu.engine.fake import FakeBlobDetectionModel
+    from facedet_tpu.engine.predict import get_sliced_prediction
+
+    m = FakeBlobDetectionModel(confidence_threshold=0.5)
+    img = np.zeros((100, 120, 3), np.uint8)
+    img[29:32, 39:42] = 255
+    img[69:72, 89:92] = 255
+    r_np = get_sliced_prediction(img, m, slice_height=64, slice_width=64)
+    dev = jnp.asarray(img, jnp.float32) / 255.0
+    r_dev = get_sliced_prediction(dev, m, slice_height=64, slice_width=64)
+    ba = np.array([p.bbox.to_xyxy() for p in r_np.object_prediction_list])
+    bb = np.array([p.bbox.to_xyxy() for p in r_dev.object_prediction_list])
+    assert len(ba) == len(bb) == 2
+    np.testing.assert_allclose(ba, bb, atol=1e-3)
+    np.testing.assert_array_equal(r_dev.image, img)  # display fetch round-trips
+    r_noimg = get_sliced_prediction(
+        dev, m, slice_height=64, slice_width=64, return_image=False
+    )
+    assert r_noimg.image is None
+    assert len(r_noimg.object_prediction_list) == 2
+
+
+def test_enhance_first_pipeline_device_flow():
+    """enhance_first_pipeline keeps the SR output on device for detection
+    and still attaches a host uint8 enhanced_image."""
+    from facedet_tpu.engine.enhancer import FaceEnhancer
+    from facedet_tpu.engine.fake import FakeBlobDetectionModel
+    from facedet_tpu.engine.pipelines import enhance_first_pipeline
+    from facedet_tpu.models.rrdbnet import RRDBConfig
+
+    m = FakeBlobDetectionModel(confidence_threshold=0.5)
+    enh = FaceEnhancer(
+        cfg=RRDBConfig(num_feat=8, num_block=1, num_grow_ch=4, scale=2),
+        outscale=2, tile=0, half=False,
+    )
+    img = np.full((60, 80, 3), 30, np.uint8)
+    img[20:24, 30:34] = 255
+    out = enhance_first_pipeline(img, m, enh, slice_policy="fixed_grid")
+    assert out.image.shape == (60, 80, 3)
+    assert out.enhanced_image.shape == (120, 160, 3)
+    assert out.enhanced_image.dtype == np.uint8
+    # detections map back into original coordinates
+    for p in out.object_prediction_list:
+        x1, y1, x2, y2 = p.bbox.to_xyxy()
+        assert 0 <= x1 <= 80 and 0 <= y2 <= 60
