@@ -128,6 +128,7 @@ def enhance_first_pipeline(
     img = np.asarray(image)
     x = jnp.asarray(img, jnp.float32) / 255.0 if img.dtype == np.uint8 else jnp.asarray(img)
     enhanced = enhancer.enhance_array(x, outscale=scale)
+    jax.block_until_ready(enhanced)  # honest enhance timing (async dispatch)
     enhance_dt = time.perf_counter() - t0
 
     eh, ew = int(enhanced.shape[0]), int(enhanced.shape[1])
