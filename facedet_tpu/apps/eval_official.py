@@ -30,6 +30,12 @@ def main(argv=None):
     ap.add_argument("--bounded", action="store_true", help="bounded enhancement gate")
     ap.add_argument("--conf", type=float, default=0.01)
     ap.add_argument("--output", default="output")
+    ap.add_argument(
+        "--ingest", default="rgb",
+        choices=["rgb", "yuv420", "dct420", "dct420s"],
+        help="upload format for the eval stream (non-rgb needs SAHI mode "
+        "and no enhancer; dct420s is the low-bandwidth serving wire)",
+    )
     args = ap.parse_args(argv)
 
     model = build_detector(
@@ -59,6 +65,7 @@ def main(argv=None):
         bounded_enhancement=args.bounded,
         inference_confidence=args.conf,
         output_dir=args.output,
+        ingest=args.ingest,
     )
     results = evaluator.run()
     print(f"Mode: {results['mode']}")

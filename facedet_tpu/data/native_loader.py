@@ -322,15 +322,20 @@ def load_image(path: str) -> np.ndarray:
 
 
 def prefetch_images(
-    paths: Iterable[str], num_workers: int = 4, window: int = 8
+    paths: Iterable[str], num_workers: int = 4, window: int = 8, loader=None
 ) -> Iterator[tuple[str, Optional[np.ndarray]]]:
     """Ordered prefetching iterator: decodes up to ``window`` images ahead on a
-    thread pool (GIL released inside the native decode)."""
+    thread pool (GIL released inside the native decode). ``loader`` swaps the
+    per-path decode (default RGB ``load_image``; pass ``load_image_dct420`` /
+    ``load_image_yuv420`` for the low-bandwidth ingest formats)."""
     from collections import deque
+
+    if loader is None:
+        loader = load_image
 
     def safe(path):
         try:
-            return load_image(path)
+            return loader(path)
         except Exception:
             return None
 

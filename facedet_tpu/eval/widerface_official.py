@@ -177,6 +177,7 @@ class OfficialWiderFaceEvaluator:
         inference_confidence: float = 0.01,
         output_dir: str = "output",
         image_loader: Optional[Callable[[str], np.ndarray]] = None,
+        ingest: str = "rgb",
     ):
         self.detection_model = detection_model
         self.images_path = images_path
@@ -196,6 +197,15 @@ class OfficialWiderFaceEvaluator:
         self.inference_confidence = inference_confidence
         self.output_dir = output_dir
         self.image_loader = image_loader
+        if ingest not in ("rgb", "yuv420", "dct420", "dct420s"):
+            raise ValueError(f"unknown ingest {ingest!r}")
+        if ingest != "rgb" and (enhancer is not None or not use_sahi):
+            # the enhancer and the standard (letterbox) path consume pixels
+            raise ValueError(
+                "ingest formats other than 'rgb' require use_sahi=True "
+                "and no enhancer"
+            )
+        self.ingest = ingest
         self.mode_string = self._build_mode_string()
         self.timings: dict[str, float] = {"inference_s": 0.0, "images": 0}
 
@@ -285,7 +295,9 @@ class OfficialWiderFaceEvaluator:
         self.detection_model.confidence_threshold = self.inference_confidence
         try:
             if self.use_sahi:
-                h, w = inference_img.shape[:2]
+                from facedet_tpu.engine.predict import _image_hw
+
+                h, w = _image_hw(inference_img)
                 if self.slicing_strategy == "uniform":
                     sh = self.sahi_config["slice_height"]
                     sw = self.sahi_config["slice_width"]
@@ -304,6 +316,7 @@ class OfficialWiderFaceEvaluator:
                     postprocess_match_threshold=0.5,
                     postprocess_class_agnostic=True,
                     merge_capacity=2048,
+                    input_format=self.ingest,
                     return_image=False,  # eval wants boxes, not a display fetch
                 )
             else:
@@ -338,9 +351,20 @@ class OfficialWiderFaceEvaluator:
         if self.image_loader is not None:
             loaded = ((path, self._load_image(path)) for _, _, path in items)
         else:
-            from facedet_tpu.data.native_loader import prefetch_images
+            from facedet_tpu.data.native_loader import (
+                load_image_dct420,
+                load_image_yuv420,
+                prefetch_images,
+            )
 
-            loaded = prefetch_images([path for _, _, path in items], num_workers=4)
+            loader = {
+                "dct420": load_image_dct420,
+                "dct420s": load_image_dct420,
+                "yuv420": load_image_yuv420,
+            }.get(self.ingest)
+            loaded = prefetch_images(
+                [path for _, _, path in items], num_workers=4, loader=loader
+            )
         for (event, name, _path), (_p, img) in zip(items, loaded):
             if img is None:
                 continue

@@ -218,3 +218,48 @@ def test_golden_layout_marks_subthreshold_faces_invalid(tmp_path):
     assert lines[1] == "2"
     assert lines[2].split()[7] == "0"  # valid face
     assert lines[3].split()[7] == "1"  # conf-0.01 dust -> ignore region
+
+
+def test_official_evaluator_dct420s_ingest(tmp_path):
+    """The eval loop can stream real JPEG files through the sparse
+    coefficient ingest (native/loader path) and score identically."""
+    import pytest
+
+    from facedet_tpu.utils.viz import save_image
+
+    dots = {"ev_a/img1": [(30, 40)], "ev_a/img2": [(60, 80)]}
+    gt_lines = []
+    for path, ds in dots.items():
+        gt_lines.append(path + ".jpg")
+        gt_lines.append(str(len(ds)))
+        for y, x in ds:
+            gt_lines.append(f"{x - 5} {y - 5} 10 10 0 0 0 0 0 0")
+    gt_txt = tmp_path / "gt.txt"
+    gt_txt.write_text("\n".join(gt_lines) + "\n")
+    for key, ds in dots.items():
+        ev_dir = tmp_path / "imgs" / key.split("/")[0]
+        os.makedirs(ev_dir, exist_ok=True)
+        save_image(str(ev_dir / (key.split("/")[1] + ".jpg")),
+                   make_image(100, 120, ds), quality=95)
+
+    model = FakeBlobDetectionModel(confidence_threshold=0.5, image_size=64)
+    ev = OfficialWiderFaceEvaluator(
+        model,
+        images_path=str(tmp_path / "imgs"),
+        gt_txt=str(gt_txt),
+        use_sahi=True,
+        sahi_config={"slice_height": 64, "slice_width": 64, "overlap_ratio": 0.2},
+        inference_confidence=0.4,
+        output_dir=str(tmp_path / "out"),
+        perform_standard_pred=False,
+        ingest="dct420s",
+    )
+    results = ev.run(save=False)
+    assert results["aps"]["all"] == 1.0, results["aps"]
+
+    # pixel-consuming modes must refuse non-rgb ingest loudly
+    with pytest.raises(ValueError):
+        OfficialWiderFaceEvaluator(
+            model, images_path="", gt_txt=str(gt_txt),
+            use_sahi=False, ingest="dct420s",
+        )
