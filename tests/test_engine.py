@@ -243,3 +243,23 @@ def test_enhance_first_pipeline_device_flow():
     for p in out.object_prediction_list:
         x1, y1, x2, y2 = p.bbox.to_xyxy()
         assert 0 <= x1 <= 80 and 0 <= y2 <= 60
+
+
+def test_resident_variables_cache_invalidates_on_swap():
+    import jax
+
+    from facedet_tpu.engine.fake import FakeBlobDetectionModel
+    from facedet_tpu.engine.predict import _resident_variables
+
+    m = FakeBlobDetectionModel(confidence_threshold=0.5)
+    m.variables = {"w": np.ones(4, np.float32)}
+    dev = jax.devices()[0]
+    a = _resident_variables(m, dev)
+    assert _resident_variables(m, dev) is a  # cached
+    m.variables = {"w": np.zeros(4, np.float32)}  # checkpoint swap
+    b = _resident_variables(m, dev)
+    assert b is not a
+    np.testing.assert_array_equal(np.asarray(b["w"]), 0.0)
+    # unload clears the device copies
+    m.unload_model()
+    assert "_resident_vars" not in m.__dict__
