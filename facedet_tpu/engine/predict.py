@@ -731,11 +731,12 @@ def predict_stream_batched(
     ``raw=True``).
     """
     from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
     opts = _stream_opts(sliced_kwargs)
 
-    def finalize(imgs, merged_dev):
-        merged = jax.device_get(merged_dev)
+    def finalize(imgs, fut):
+        merged = jax.device_get(fut.result())
         if raw:
             return merged
         h, w = _image_hw(imgs[0])
@@ -756,26 +757,38 @@ def predict_stream_batched(
 
     inflight: deque = deque()
     pending: list = []
+    # one staging worker: batch k+1's host packing + upload + dispatch run
+    # while the main thread blocks fetching batch k's results — the host
+    # stack (~0.9 s per 64-image sparse batch) leaves the critical path.
+    # A single worker preserves dispatch order; jax dispatch/fetch from
+    # different threads is supported.
+    pool = ThreadPoolExecutor(max_workers=1)
 
     def flush(pending):
         inflight.append(
-            (pending, _dispatch_sliced_batch(pending, detection_model, opts))
+            (
+                pending,
+                pool.submit(_dispatch_sliced_batch, pending, detection_model, opts),
+            )
         )
 
-    for image in images:
-        img = _prepare_image(image)
-        if pending and (
-            _image_hw(img) != _image_hw(pending[0]) or len(pending) >= batch_size
-        ):
+    try:
+        for image in images:
+            img = _prepare_image(image)
+            if pending and (
+                _image_hw(img) != _image_hw(pending[0]) or len(pending) >= batch_size
+            ):
+                flush(pending)
+                pending = []
+                if len(inflight) >= window:
+                    yield finalize(*inflight.popleft())
+            pending.append(img)
+        if pending:
             flush(pending)
-            pending = []
-            if len(inflight) >= window:
-                yield finalize(*inflight.popleft())
-        pending.append(img)
-    if pending:
-        flush(pending)
-    while inflight:
-        yield finalize(*inflight.popleft())
+        while inflight:
+            yield finalize(*inflight.popleft())
+    finally:
+        pool.shutdown(wait=False)
 
 
 def _stream_opts(sliced_kwargs: dict) -> dict:
