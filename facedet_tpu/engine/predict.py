@@ -446,11 +446,25 @@ def _stage_batch_host(imgs: list, input_format: str, bucket_h: int, bucket_w: in
         # AC planes staged directly in wire layout (_dct_wire): coefficient-
         # major, so each frequency's near-all-zero int8 plane is contiguous
         y_dc = np.empty((n, yb_h, yb_w), np.int16)
-        y_ac = np.zeros((n, 64, yb_h, yb_w), np.int8)
         uv_dc = np.zeros((n, cb_h, cb_w, 2), np.int16)
-        uv_ac = np.zeros((n, 2, 64, cb_h, cb_w), np.int8)
         qy = np.empty((n, 64), np.float32)
         qc = np.empty((n, 64), np.float32)
+        if input_format == "dct420s":
+            # sparse wire: stage each image's AC straight into one flat
+            # [n, total] pack buffer (y wire planes then uv, contiguous —
+            # the same byte order the dense branch uploads), then batch-pack
+            # into (position deltas, values) with one shared bucketed cap.
+            # No intermediate dense batch or per-image concatenate copies.
+            from facedet_tpu.ops.jpeg_dct import pack_sparse_ac_batch
+
+            y_sz = 64 * yb_h * yb_w
+            uv_sz = 2 * 64 * cb_h * cb_w
+            flat2d = np.zeros((n, y_sz + uv_sz), np.int8)
+            y_ac = flat2d[:, :y_sz].reshape(n, 64, yb_h, yb_w)
+            uv_ac = flat2d[:, y_sz:].reshape(n, 2, 64, cb_h, cb_w)
+        else:
+            y_ac = np.zeros((n, 64, yb_h, yb_w), np.int8)
+            uv_ac = np.zeros((n, 2, 64, cb_h, cb_w), np.int8)
         for i, im in enumerate(imgs):
             if not isinstance(im, DctImage):
                 im = encode_dct420(im)
@@ -466,26 +480,7 @@ def _stage_batch_host(imgs: list, input_format: str, bucket_h: int, bucket_w: in
             qy[i] = im.qy
             qc[i] = im.qc
         if input_format == "dct420s":
-            # sparse wire: pack each image's flat AC (y then uv) into
-            # (position deltas, values) with one batch-shared bucketed cap
-            from facedet_tpu.ops.jpeg_dct import (
-                pack_sparse_ac,
-                sparse_cap_bucket,
-                sparse_nnz_entries,
-            )
-
-            flats = [
-                np.concatenate([y_ac[i].ravel(), uv_ac[i].ravel()])
-                for i in range(n)
-            ]
-            total = flats[0].size
-            cap = sparse_cap_bucket(
-                max(sparse_nnz_entries(f) for f in flats), total
-            )
-            deltas = np.zeros((n, cap), np.uint16)
-            vals = np.zeros((n, cap), np.int8)
-            for i, f in enumerate(flats):
-                deltas[i], vals[i] = pack_sparse_ac(f, cap)
+            deltas, vals = pack_sparse_ac_batch(flat2d)
             return y_dc, uv_dc, qy, qc, deltas, vals
         return y_dc, y_ac, uv_dc, uv_ac, qy, qc
     if input_format == "yuv420":
@@ -573,8 +568,9 @@ def _dispatch_sliced(
             _pad_dct_planes(img, bucket_h, bucket_w)
         )
         flat = np.concatenate([y_ac_w.ravel(), uv_ac_w.ravel()])
-        cap = sparse_cap_bucket(sparse_nnz_entries(flat), flat.size)
-        deltas, vals = pack_sparse_ac(flat, cap)
+        nz = np.flatnonzero(flat)  # one scan, shared by sizing + pack
+        cap = sparse_cap_bucket(sparse_nnz_entries(flat, nz=nz), flat.size)
+        deltas, vals = pack_sparse_ac(flat, cap, nz=nz)
         img_dev = tuple(
             jnp.asarray(p) for p in (y_dc, uv_dc, qy, qc, deltas, vals)
         )

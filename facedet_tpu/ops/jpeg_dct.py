@@ -309,17 +309,22 @@ def sparse_cap_bucket(nnz: int, total: int) -> int:
 _DELTA_MAX = 65534  # max encodable gap; larger runs insert value-0 dummies
 
 
-def sparse_nnz_entries(flat: np.ndarray) -> int:
+def sparse_nnz_entries(flat: np.ndarray, nz: np.ndarray | None = None) -> int:
     """Number of wire entries pack_sparse_ac needs for ``flat`` (true
-    nonzeros + overflow dummies + the parking jump) — for capacity sizing."""
-    nz = np.flatnonzero(flat)
+    nonzeros + overflow dummies + the parking jump) — for capacity sizing.
+    Pass a precomputed ``nz = np.flatnonzero(flat)`` to share the scan with
+    the subsequent pack (the scan dominates the host cost)."""
+    if nz is None:
+        nz = np.flatnonzero(flat)
     if nz.size == 0:
         return 1
     gaps = np.diff(nz, prepend=-1)
     return int(nz.size + ((gaps - 1) // _DELTA_MAX).sum()) + 1
 
 
-def pack_sparse_ac(flat: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
+def pack_sparse_ac(
+    flat: np.ndarray, cap: int, nz: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """Host: flat int8 AC coefficients [n] -> (position deltas uint16 [cap],
     values int8 [cap]).
 
@@ -330,7 +335,8 @@ def pack_sparse_ac(flat: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
     the zero padding tail (delta 0) rewrites a zero coefficient instead of
     the last real value; the device decode drops writes at/after slot n."""
     n = flat.size
-    nz = np.flatnonzero(flat)
+    if nz is None:
+        nz = np.flatnonzero(flat)
     gaps = np.diff(nz, prepend=-1)
     n_dummy = (gaps - 1) // _DELTA_MAX  # per real entry, preceding dummies
     total = int(nz.size + n_dummy.sum()) + 1
@@ -371,6 +377,113 @@ def unpack_sparse_ac_np(deltas, vals, n: int) -> np.ndarray:
     keep = pos <= n
     flat[np.minimum(pos[keep], n)] = np.asarray(vals)[keep]
     return flat[:n]
+
+
+# --- native batch packer (serving hot path) ---------------------------------
+#
+# At batch 64 the numpy pack costs ~0.75 s (two index-materializing
+# flatnonzero passes over ~150 MB of int8) — the critical path of the
+# stream's staging worker. native/sparse_pack.cpp replays the identical
+# semantics as a single word-skipping scan with a thread per image slice.
+
+_PACK_LIB = None
+_PACK_FAILED = False
+
+
+def _load_pack_native():
+    global _PACK_LIB, _PACK_FAILED
+    if _PACK_LIB is not None or _PACK_FAILED:
+        return _PACK_LIB
+    import ctypes
+    import os
+    import subprocess
+    import threading
+
+    lock = getattr(_load_pack_native, "_lock", None)
+    if lock is None:
+        lock = _load_pack_native._lock = threading.Lock()
+    with lock:
+        if _PACK_LIB is not None or _PACK_FAILED:
+            return _PACK_LIB
+        native_dir = os.path.join(
+            os.path.dirname(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            ),
+            "native",
+        )
+        src = os.path.join(native_dir, "sparse_pack.cpp")
+        so = os.path.join(native_dir, "libsparse_pack.so")
+        try:
+            if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-pthread", src, "-o", so],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(so)
+            lib.sparse_count_entries_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_byte),
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_long),
+            ]
+            lib.sparse_count_entries_batch.restype = None
+            lib.pack_sparse_ac_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_byte),
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_ushort),
+                ctypes.POINTER(ctypes.c_byte),
+            ]
+            lib.pack_sparse_ac_batch.restype = ctypes.c_int
+            _PACK_LIB = lib
+        except Exception:
+            _PACK_FAILED = True
+            _PACK_LIB = None
+    return _PACK_LIB
+
+
+def pack_sparse_ac_batch(flat2d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Batch :func:`pack_sparse_ac` over ``flat2d [n_imgs, total]`` int8 with
+    one shared capacity bucket (max entries across the batch). Native C++
+    when available, numpy fallback with identical output."""
+    import ctypes
+
+    flat2d = np.ascontiguousarray(flat2d, np.int8)
+    n, total = flat2d.shape
+    lib = _load_pack_native()
+    if lib is None:
+        nzs = [np.flatnonzero(flat2d[i]) for i in range(n)]
+        cap = sparse_cap_bucket(
+            max(sparse_nnz_entries(flat2d[i], nz=nzs[i]) for i in range(n)),
+            total,
+        )
+        deltas = np.zeros((n, cap), np.uint16)
+        vals = np.zeros((n, cap), np.int8)
+        for i in range(n):
+            deltas[i], vals[i] = pack_sparse_ac(flat2d[i], cap, nz=nzs[i])
+        return deltas, vals
+    entries = np.empty(n, np.int64)
+    flat_ptr = flat2d.ctypes.data_as(ctypes.POINTER(ctypes.c_byte))
+    lib.sparse_count_entries_batch(
+        flat_ptr, n, total, entries.ctypes.data_as(ctypes.POINTER(ctypes.c_long))
+    )
+    cap = sparse_cap_bucket(int(entries.max()), total)
+    deltas = np.empty((n, cap), np.uint16)
+    vals = np.empty((n, cap), np.int8)
+    ret = lib.pack_sparse_ac_batch(
+        flat_ptr,
+        n,
+        total,
+        cap,
+        deltas.ctypes.data_as(ctypes.POINTER(ctypes.c_ushort)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
+    )
+    if ret != 0:  # cannot happen with a cap sized from the count pass
+        raise RuntimeError("native sparse pack overflowed its capacity bucket")
+    return deltas, vals
 
 
 # --- sparse-bitmap FETCH wire (SR coefficient download) ---------------------

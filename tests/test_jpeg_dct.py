@@ -313,6 +313,79 @@ def test_sparse_ac_delta_overflow_and_edges():
     np.testing.assert_array_equal(unpack_sparse_ac_np(dt, vt, 100), tail)
 
 
+def test_pack_sparse_ac_batch_native_parity():
+    """The native batch packer (native/sparse_pack.cpp) must emit the exact
+    numpy wire: same capacity bucket, identical deltas/values, including
+    >65534 zero-run dummies, empty images, and tail nonzeros."""
+    from facedet_tpu.ops.jpeg_dct import (
+        _load_pack_native,
+        pack_sparse_ac,
+        pack_sparse_ac_batch,
+        sparse_cap_bucket,
+        sparse_nnz_entries,
+        unpack_sparse_ac_np,
+    )
+
+    rng = np.random.default_rng(11)
+    total = 180_000
+    flat2d = np.zeros((6, total), np.int8)
+    flat2d[0] = np.where(  # photo-ish density
+        rng.random(total) < 0.15, rng.integers(-127, 128, total), 0
+    )
+    flat2d[1, ::70_001] = 3  # dummy-entry gaps
+    # row 2 stays empty (parking entry only)
+    flat2d[3, total - 1] = -9  # tail nonzero
+    flat2d[4, 0] = 1
+    flat2d[5] = np.where(
+        rng.random(total) < 0.003, rng.integers(-127, 128, total), 0
+    )
+    deltas, vals = pack_sparse_ac_batch(flat2d)
+    nzs = [np.flatnonzero(flat2d[i]) for i in range(6)]
+    cap = sparse_cap_bucket(
+        max(sparse_nnz_entries(flat2d[i], nz=nzs[i]) for i in range(6)), total
+    )
+    assert deltas.shape == (6, cap)
+    for i in range(6):
+        d_ref, v_ref = pack_sparse_ac(flat2d[i], cap, nz=nzs[i])
+        np.testing.assert_array_equal(deltas[i], d_ref)
+        np.testing.assert_array_equal(vals[i], v_ref)
+        np.testing.assert_array_equal(
+            unpack_sparse_ac_np(deltas[i], vals[i], total), flat2d[i]
+        )
+    # this host must exercise the native path, not just the fallback
+    assert _load_pack_native() is not None
+
+
+def test_stage_batch_host_sparse_matches_dense():
+    """dct420s staging (direct-to-flat views + batch pack) must reproduce the
+    dense dct420 staging's AC bytes exactly, padding regions included."""
+    from facedet_tpu.engine.predict import _stage_batch_host
+    from facedet_tpu.ops.jpeg_dct import encode_dct420, unpack_sparse_ac_np
+
+    rng = np.random.default_rng(5)
+    imgs = [
+        encode_dct420(rng.integers(0, 255, (120, 200, 3)).astype(np.uint8))
+        for _ in range(3)
+    ]
+    bh, bw = 128, 256  # force right/bottom padding
+    y_dc_d, y_ac_d, uv_dc_d, uv_ac_d, qy_d, qc_d = _stage_batch_host(
+        imgs, "dct420", bh, bw
+    )
+    y_dc_s, uv_dc_s, qy_s, qc_s, deltas, vals = _stage_batch_host(
+        imgs, "dct420s", bh, bw
+    )
+    np.testing.assert_array_equal(y_dc_d, y_dc_s)
+    np.testing.assert_array_equal(uv_dc_d, uv_dc_s)
+    np.testing.assert_array_equal(qy_d, qy_s)
+    np.testing.assert_array_equal(qc_d, qc_s)
+    total = y_ac_d[0].size + uv_ac_d[0].size
+    for i in range(3):
+        flat_ref = np.concatenate([y_ac_d[i].ravel(), uv_ac_d[i].ravel()])
+        np.testing.assert_array_equal(
+            unpack_sparse_ac_np(deltas[i], vals[i], total), flat_ref
+        )
+
+
 def test_sparse_cap_bucket_bounds():
     from facedet_tpu.ops.jpeg_dct import sparse_cap_bucket
 
