@@ -135,7 +135,7 @@ def _wall_breakdown(model, planes, cfg, bsz: int, rounds: int = 3):
         opts["perform_standard_pred"], opts["postprocess_type"],
         opts["postprocess_match_metric"], opts["postprocess_match_threshold"],
         opts["postprocess_class_agnostic"], opts["merge_capacity"],
-        False, opts["input_format"],
+        False, opts["input_format"], fetch_capacity=opts.get("fetch_capacity"),
     )
     fused = P._get_fused_pipeline(model, key)["batch"]
     touch = jax.jit(lambda x: x[:64].astype(jnp.float32).sum())
@@ -205,7 +205,7 @@ def _device_accounting(model, img, cfg, bsz):
         opts["perform_standard_pred"], opts["postprocess_type"],
         opts["postprocess_match_metric"], opts["postprocess_match_threshold"],
         opts["postprocess_class_agnostic"], opts["merge_capacity"],
-        False, input_format,
+        False, input_format, fetch_capacity=opts.get("fetch_capacity"),
     )
     fused = P._get_fused_pipeline(model, key)["batch"]
     if input_format == "dct420":
@@ -336,6 +336,10 @@ def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int 
         # planes as a sparse bitmap + packed values — ~3-4x fewer nominal
         # wire bytes than the dense planes (BENCH.md round-3 sparse wire).
         input_format=ingest,
+        # serving compaction: fetch only the top-300 merged rows per image
+        # (the reference's ultralytics predictor caps at max_det=300 the same
+        # way) — 1024-row fetches cost ~3.4x the D2H bytes for padding
+        fetch_capacity=300,
     )
 
     # pre-encoded coefficient planes stand in for JPEG-direct coefficient

@@ -106,11 +106,20 @@ def pipeline_key(
     merge_capacity,
     use_pallas_gather: bool = False,
     input_format: str = "rgb",
+    *,
+    fetch_capacity: Optional[int] = None,
 ) -> tuple:
     """THE fused-pipeline cache key. Single constructor for every call site
-    (engine dispatch paths, bench device accounting) — the 14-tuple is
+    (engine dispatch paths, bench device accounting) — the 15-tuple is
     destructured positionally by _get_fused_pipeline, so ad-hoc rebuilds
-    would silently transpose config fields when the key evolves."""
+    would silently transpose config fields when the key evolves.
+
+    ``fetch_capacity`` (keyword-only): compact the merged output to the top-k
+    rows by (valid, score) before it leaves the device — the fetched pytree
+    shrinks from ``merge_capacity`` to ``fetch_capacity`` rows (~3.4x fewer
+    D2H bytes at the 1024 -> 300 default serving config; the reference's
+    ultralytics predictor caps per-image output at max_det=300 the same way,
+    utils/yolo_wrapper.py:74-82). None fetches the full merge capacity."""
     img_size = int(detection_model.image_size or max(slice_height, slice_width))
     return (
         bucket_h,
@@ -127,6 +136,7 @@ def pipeline_key(
         img_size,
         bool(use_pallas_gather),
         str(input_format),
+        int(fetch_capacity) if fetch_capacity else 0,
     )
 
 
@@ -162,6 +172,7 @@ def _get_fused_pipeline(
         img_size,
         use_pallas,
         input_format,
+        fetch_capacity,
     ) = key
     def core(variables, image, offsets, tile_valid, true_hw):
         if input_format == "yuv420":
@@ -278,7 +289,12 @@ def _get_fused_pipeline(
             match_threshold=threshold,
             class_agnostic=agnostic,
         )
-        return _clip_detections(merged, true_hw[0], true_hw[1])
+        clipped = _clip_detections(merged, true_hw[0], true_hw[1])
+        if fetch_capacity and fetch_capacity < capacity:
+            # serving compaction: ship only the top rows off device (the sort
+            # is a 1k-element argsort — noise next to the D2H bytes it saves)
+            clipped = _truncate_by_score(clipped, fetch_capacity)
+        return clipped
 
     entry = {
         "single": jax.jit(core),
@@ -514,6 +530,7 @@ def _dispatch_sliced(
     use_pallas_gather,
     input_format="rgb",
     mesh=None,
+    fetch_capacity=None,
 ):
     """Asynchronously dispatch the fused sliced pipeline for one image.
 
@@ -547,6 +564,7 @@ def _dispatch_sliced(
         perform_standard_pred, postprocess_type, postprocess_match_metric,
         postprocess_match_threshold, postprocess_class_agnostic,
         merge_capacity, use_pallas_gather, input_format,
+        fetch_capacity=fetch_capacity,
     )
     fused = _get_fused_pipeline(detection_model, key, mesh=mesh)
     if input_format == "yuv420":
@@ -651,6 +669,7 @@ def _dispatch_sliced_batch(imgs: list, detection_model: DetectionModel, opts: di
         opts["postprocess_match_metric"], opts["postprocess_match_threshold"],
         opts["postprocess_class_agnostic"], opts["merge_capacity"],
         False, opts.get("input_format", "rgb"),
+        fetch_capacity=opts.get("fetch_capacity"),
     )
     fused = _get_fused_pipeline(detection_model, key)
     staged = _stage_batch_host(
@@ -802,6 +821,7 @@ def _stream_opts(sliced_kwargs: dict) -> dict:
         merge_capacity=sliced_kwargs.get("merge_capacity", 1024),
         use_pallas_gather=sliced_kwargs.get("use_pallas_gather", False),
         input_format=sliced_kwargs.get("input_format", "rgb"),
+        fetch_capacity=sliced_kwargs.get("fetch_capacity"),
     )
 
 
@@ -893,6 +913,7 @@ def get_sliced_prediction(
     use_pallas_gather: bool = False,
     input_format: str = "rgb",
     mesh=None,
+    fetch_capacity: Optional[int] = None,
     verbose: int = 0,
     return_image: bool = True,
 ) -> PredictionResult:
@@ -932,6 +953,7 @@ def get_sliced_prediction(
         use_pallas_gather,
         input_format=input_format,
         mesh=mesh,
+        fetch_capacity=fetch_capacity,
     )
     h, w = _image_hw(img)
     slice_height = slice_height or grid.slice_h

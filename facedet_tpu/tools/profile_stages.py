@@ -1,0 +1,212 @@
+"""Stage-level device-time bisect of the fused sliced pipeline.
+
+The K-difference method (bench.py `_device_accounting`) gives ONE number for
+the whole fused dispatch; this tool re-runs it on *truncated* variants of the
+same pipeline — each stage's scalar-reduced prefix — so the per-stage device
+cost is the difference between consecutive rows. CLAUDE.md "Performance
+rules": this is the sanctioned way to find device-side costs the K-difference
+cannot attribute (scalarized ops, sort/top-k, NMS fixpoint rounds).
+
+Run on the real TPU:  python -m facedet_tpu.tools.profile_stages  (or from
+repo root: python tools/profile_stages.py). Stages mirror
+engine/predict.py::_get_fused_pipeline core() exactly — if core() changes,
+update the STAGES here.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_stage_fn(model, key, stage: str):
+    """Truncated copy of predict._get_fused_pipeline core(), scalar-reduced.
+
+    Returns f(variables, image_tuple, offsets, tile_valid, true_hw) -> scalar.
+    """
+    from facedet_tpu.engine.detector import DetectionModel  # noqa: F401
+    from facedet_tpu.models.yolo_decode import (
+        decode_predictions,
+        decode_to_detections,
+    )
+    from facedet_tpu.ops.color import yuv420_to_rgb_f32
+    from facedet_tpu.ops.jpeg_dct import decode_dct420_to_yuv_f32, unpack_sparse_ac
+    from facedet_tpu.ops.nms import merge_detections
+    from facedet_tpu.ops.tiler import gather_tiles
+    from facedet_tpu.core.detections import Detections
+    from facedet_tpu.engine.predict import (
+        _clip_detections,
+        _shift_and_flatten,
+        _truncate_by_score,
+    )
+
+    (
+        bucket_h, bucket_w, slice_h, slice_w, standard, conf, mode, metric,
+        threshold, agnostic, capacity, img_size, _use_pallas, input_format,
+        _fetch_capacity,
+    ) = key
+    assert input_format == "dct420s"
+
+    def tree_sum(t):
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(t))
+
+    def core(variables, image, offsets, tile_valid, true_hw):
+        y_dc, uv_dc, qy, qc, deltas, vals = image
+        yb_h, yb_w = bucket_h // 8, bucket_w // 8
+        cb_h, cb_w = bucket_h // 16, bucket_w // 16
+        ny = 64 * yb_h * yb_w
+        nc = 2 * 64 * cb_h * cb_w
+        flat = unpack_sparse_ac(deltas, vals, ny + nc)
+        if stage == "unpack":
+            return tree_sum(flat)
+        y_ac = jnp.moveaxis(flat[:ny].reshape(64, yb_h, yb_w), 0, -1)
+        uv_ac = jnp.transpose(flat[ny:].reshape(2, 64, cb_h, cb_w), (2, 3, 0, 1))
+        y, uv = decode_dct420_to_yuv_f32(y_dc, y_ac, uv_dc, uv_ac, qy, qc)
+        if stage == "idct":
+            return tree_sum((y, uv))
+        imgf = yuv420_to_rgb_f32(y, uv)
+        if stage == "rgb":
+            return tree_sum(imgf)
+        padded = imgf
+        tiles = gather_tiles(padded, offsets, slice_h, slice_w)
+        if stage == "tiles":
+            return tree_sum(tiles)
+
+        # -- detector forward split: raw conv outs / +decode / +topk / +tile-NMS
+        outs = model.model.apply(variables, tiles, train=False)
+        if stage == "convs":
+            return tree_sum(outs)
+        preds = decode_predictions(outs)
+        if stage == "head_decode":
+            return tree_sum(preds)
+        det = decode_to_detections(
+            preds, conf_threshold=conf,
+            max_detections=model.max_detections_per_tile,
+            nms_iou=0.7, class_agnostic=True,
+            with_nms=(stage not in ("topk",)),
+        )
+        if stage in ("topk", "tile_nms"):
+            return tree_sum(det)
+
+        flat_det = _shift_and_flatten(det, offsets, tile_valid)
+        parts = [flat_det]
+        if standard:
+            scale = jnp.minimum(img_size / true_hw[0], img_size / true_hw[1])
+            full_tile = jax.image.scale_and_translate(
+                padded, (img_size, img_size, padded.shape[2]), (0, 1),
+                jnp.stack([scale, scale]), jnp.zeros(2), method="linear",
+            )
+            full_det = model.tile_forward(variables, full_tile[None], conf)
+            full_det = jax.tree.map(lambda x: x[0], full_det)
+            kpts = full_det.kpts.at[..., :2].divide(scale)
+            full_det = Detections(
+                boxes=full_det.boxes / scale, scores=full_det.scores,
+                classes=full_det.classes, kpts=kpts, valid=full_det.valid,
+            )
+            parts.append(full_det)
+        combined = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+        if stage == "standard":
+            return tree_sum(combined)
+        combined = _truncate_by_score(combined, capacity)
+        if stage == "truncate":
+            return tree_sum(combined)
+        merged = merge_detections(
+            combined, mode=mode, match_metric=metric,
+            match_threshold=threshold, class_agnostic=agnostic,
+        )
+        clipped = _clip_detections(merged, true_hw[0], true_hw[1])
+        return tree_sum(clipped)
+
+    return core
+
+
+STAGES = [
+    "unpack", "idct", "rgb", "tiles", "convs", "head_decode",
+    "topk", "tile_nms", "standard", "truncate", "full",
+]
+
+
+def main(bsz: int = 8, k: int = 9, rounds: int = 5):
+    from facedet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from bench import _make_image
+
+    from facedet_tpu.engine import predict as P
+    from facedet_tpu.engine.detector import YoloV11PoseDetectionModel
+    from facedet_tpu.ops.jpeg_dct import encode_dct420
+
+    model = YoloV11PoseDetectionModel(
+        scale="s", dtype="bfloat16", confidence_threshold=0.25,
+        image_size=640, max_detections_per_tile=300,
+    )
+    img = _make_image(1024, 1536)
+    planes = encode_dct420(img, quality=90)
+    h, w = 1024, 1536
+    grid = P.compute_slice_grid(h, w, 640, 640, 0.2, 0.2)
+    t_bucket = P.bucket_tile_count(grid.num_tiles)
+    offsets, tile_valid = P.pad_grid_offsets(grid, t_bucket)
+    bucket_h = P.bucket_image_dim(grid.padded_h)
+    bucket_w = P.bucket_image_dim(grid.padded_w)
+    key = P.pipeline_key(
+        model, bucket_h, bucket_w, 640, 640, True, "GREEDYNMM", "IOS",
+        0.5, True, 1024, False, "dct420s",
+    )
+
+    staged = P._stage_batch_host([planes] * bsz, "dct420s", bucket_h, bucket_w)
+    batch_dev = tuple(jax.device_put(jnp.asarray(p)) for p in staged)
+    variables = P._resident_variables(model)
+    offs = jax.device_put(jnp.asarray(offsets))
+    tv = jax.device_put(jnp.asarray(tile_valid))
+    true_hw = jax.device_put(jnp.tile(jnp.asarray([[h, w]], jnp.float32), (bsz, 1)))
+    jax.block_until_ready(batch_dev)
+
+    results = {}
+    for stage in STAGES:
+        core = build_stage_fn(model, key, stage)
+        batched = jax.jit(jax.vmap(core, in_axes=(None, 0, None, None, 0)))
+
+        @jax.jit
+        def repeat(n, variables, batch, offs, tv, true_hw, batched=batched):
+            def body(i, acc):
+                b = (
+                    batch[0].at[(0,) * batch[0].ndim].set(
+                        (i % 101).astype(batch[0].dtype)
+                    ),
+                ) + batch[1:]
+                return acc + batched(variables, b, offs, tv, true_hw).sum()
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        def timed(n):
+            t0 = time.perf_counter()
+            float(repeat(n, variables, batch_dev, offs, tv, true_hw))
+            return time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        timed(1)  # compile + warm
+        compile_s = time.perf_counter() - t0
+        diffs = sorted(
+            d for d in ((timed(k) - timed(1)) / (k - 1) for _ in range(rounds))
+            if d > 0
+        )
+        per_img_ms = (diffs[len(diffs) // 2] / bsz * 1e3) if diffs else float("nan")
+        results[stage] = per_img_ms
+        print(
+            f"{stage:12s} cum {per_img_ms:8.3f} ms/img   "
+            f"(compile {compile_s:.1f}s, {len(diffs)}/{rounds} positive)",
+            flush=True,
+        )
+
+    print("\n-- marginal cost per stage (diff of consecutive cumulative rows)")
+    prev = 0.0
+    for stage in STAGES:
+        cur = results[stage]
+        print(f"{stage:12s} {cur - prev:8.3f} ms/img")
+        prev = cur
+
+
+if __name__ == "__main__":
+    main()

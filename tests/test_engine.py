@@ -263,3 +263,57 @@ def test_resident_variables_cache_invalidates_on_swap():
     # unload clears the device copies
     m.unload_model()
     assert "_resident_vars" not in m.__dict__
+
+
+def test_fetch_capacity_compaction_matches_full_fetch():
+    # serving compaction (engine/predict.py fetch_capacity): the merged
+    # result truncated to top-k rows on device must carry the same valid
+    # detections as the full-capacity fetch when count < fetch_capacity
+    dots = [(30, 40), (120, 180), (70, 100)]
+    img = make_image(150, 200, dots)
+    model = FakeBlobDetector(confidence_threshold=0.5)
+    kw = dict(
+        slice_height=64,
+        slice_width=64,
+        perform_standard_pred=False,
+        postprocess_match_metric="IOS",
+        postprocess_match_threshold=0.5,
+    )
+    full = get_sliced_prediction(img, model, **kw)
+    compact = get_sliced_prediction(img, model, fetch_capacity=16, **kw)
+    assert compact.detections.boxes.shape[0] == 16
+    a, b = full.detections.to_numpy(), compact.detections.to_numpy()
+    assert a["boxes"].shape == b["boxes"].shape
+    np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-5)
+    np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-6)
+    np.testing.assert_allclose(a["kpts"], b["kpts"], atol=1e-5)
+
+
+def test_fetch_capacity_keeps_highest_scores_when_overflowing():
+    # more merged detections than fetch_capacity: the compaction must keep
+    # the top-scored rows (ultralytics max_det semantics)
+    rng = np.random.default_rng(0)
+    dots = [
+        (int(y), int(x))
+        for y, x in zip(rng.integers(5, 145, 12), rng.integers(5, 195, 12))
+    ]
+    # de-duplicate blob positions that would merge into one detection
+    dots = [d for i, d in enumerate(dots) if all(
+        abs(d[0] - e[0]) + abs(d[1] - e[1]) > 12 for e in dots[:i]
+    )]
+    img = make_image(150, 200, dots)
+    model = FakeBlobDetector(confidence_threshold=0.5)
+    kw = dict(
+        slice_height=64,
+        slice_width=64,
+        perform_standard_pred=False,
+        postprocess_match_metric="IOS",
+        postprocess_match_threshold=0.5,
+    )
+    full = get_sliced_prediction(img, model, **kw).detections.to_numpy()
+    k = max(1, len(full["scores"]) - 2)
+    compact = get_sliced_prediction(
+        img, model, fetch_capacity=k, **kw
+    ).detections.to_numpy()
+    assert len(compact["scores"]) == k
+    np.testing.assert_allclose(compact["scores"], full["scores"][:k], atol=1e-6)
