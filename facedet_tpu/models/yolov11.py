@@ -72,14 +72,15 @@ class Backbone(nn.Module):
     cfg: YoloConfig
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, from_early: bool = False):
         cfg, dt = self.cfg, self.cfg.compute_dtype
         c = cfg.ch
-        x = ConvBnAct(c(64), 3, 2, dtype=dt, name="stem")(x, train)  # P1/2
-        x = ConvBnAct(c(128), 3, 2, dtype=dt, name="down1")(x, train)  # P2/4
-        x = C3k2(c(256), cfg.depth(2), c3k=False, expansion=0.25, dtype=dt, name="c3k2_0")(
-            x, train
-        )
+        if not from_early:
+            x = ConvBnAct(c(64), 3, 2, dtype=dt, name="stem")(x, train)  # P1/2
+            x = ConvBnAct(c(128), 3, 2, dtype=dt, name="down1")(x, train)  # P2/4
+            x = C3k2(
+                c(256), cfg.depth(2), c3k=False, expansion=0.25, dtype=dt, name="c3k2_0"
+            )(x, train)
         x = ConvBnAct(c(256), 3, 2, dtype=dt, name="down2")(x, train)  # P3/8
         p3 = C3k2(c(512), cfg.depth(2), c3k=False, expansion=0.25, dtype=dt, name="c3k2_1")(
             x, train
@@ -159,14 +160,19 @@ class DetectHead(nn.Module):
 
 
 class YoloV11(nn.Module):
-    """Full detector: images [B,H,W,3] in [0,1] -> per-level raw head maps."""
+    """Full detector: images [B,H,W,3] in [0,1] -> per-level raw head maps.
+
+    ``from_early=True`` means ``x`` is already the c3k2_0 output (produced by
+    the exact space-to-depth fast path, models/yolo_s2d.py) and the backbone
+    resumes at ``down2``. Inference-only; init/training use the standard path.
+    """
 
     cfg: YoloConfig
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, from_early: bool = False):
         x = x.astype(self.cfg.compute_dtype)
-        feats = Backbone(self.cfg, name="backbone")(x, train)
+        feats = Backbone(self.cfg, name="backbone")(x, train, from_early=from_early)
         feats = PanNeck(self.cfg, name="neck")(feats, train)
         return DetectHead(self.cfg, name="head")(feats, train)
 
