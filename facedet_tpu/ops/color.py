@@ -75,8 +75,24 @@ def rgb_to_yuv420(img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return y8, uv8
 
 
+def _up2x_axis(x: jax.Array, axis: int) -> jax.Array:
+    """Exact 2x linear upsample along one axis (half-pixel centres, edge
+    clamp — the jax.image.resize 'linear' convention): out[2i] = .25*x[i-1]
+    + .75*x[i], out[2i+1] = .75*x[i] + .25*x[i+1], written as shifted adds so
+    XLA fuses it instead of the dense [n, n/2] resize matmul."""
+    x = jnp.moveaxis(x, axis, 0)
+    xm = jnp.concatenate([x[:1], x[:-1]], axis=0)
+    xp = jnp.concatenate([x[1:], x[-1:]], axis=0)
+    even = 0.75 * x + 0.25 * xm
+    odd = 0.75 * x + 0.25 * xp
+    out = jnp.stack([even, odd], axis=1).reshape((2 * x.shape[0],) + x.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
 def _upsample_chroma(uv: jax.Array, h: int, w: int) -> jax.Array:
-    """[h/2, w/2, 2] float chroma -> [h, w, 2] via bilinear resize."""
+    """[h/2, w/2, 2] float chroma -> [h, w, 2] via bilinear 2x upsample."""
+    if h == 2 * uv.shape[0] and w == 2 * uv.shape[1]:
+        return _up2x_axis(_up2x_axis(uv, 0), 1)
     return jax.image.resize(uv, (h, w, uv.shape[-1]), method="linear")
 
 

@@ -82,6 +82,11 @@ def _dct_matrix() -> np.ndarray:
 
 
 _C = _dct_matrix()
+# Fused IDCT basis: vec(C^T X C) = vec(X) @ kron(C, C).  One [N, 64] @ [64, 64]
+# matmul tiles the MXU (K=64 of 128 lanes); the per-block 8x8 einsum form used
+# 8 of 128 MXU rows/cols (~0.4% utilisation) and cost 0.78 ms/img on the
+# profiled pipeline (tools/profile_stages.py).
+_IDCT64 = np.kron(_C, _C).astype(np.float32)  # [(j,k), (i,l)] = C[j,i] * C[k,l]
 
 
 def quality_tables(quality: int = 90) -> tuple[np.ndarray, np.ndarray]:
@@ -164,14 +169,13 @@ def encode_dct420(image, quality: int = 90, pad_to: tuple[int, int] | None = Non
 
 def _idct_plane(dc, ac, q):
     """Device: (dc [Hb,Wb] int, ac [Hb,Wb,64] int, q [64]) -> [H, W] f32
-    (level-shifted back, unclipped). Two 8x8 matmuls per block on the MXU."""
+    (level-shifted back, unclipped). One [N,64]@[64,64] matmul on the MXU,
+    dequantisation folded into the basis rows."""
     coef = ac.astype(jnp.float32)
     coef = coef.at[..., 0].set(dc.astype(jnp.float32))
-    coef = (coef * q).reshape(*coef.shape[:-1], 8, 8)
-    c = jnp.asarray(_C)
-    # IDCT: block = C^T @ coef @ C
-    blocks = jnp.einsum("ji,byjk,kl->byil", c, coef, c)
-    hb, wb = blocks.shape[0], blocks.shape[1]
+    hb, wb = coef.shape[0], coef.shape[1]
+    basis = q[:, None] * jnp.asarray(_IDCT64)
+    blocks = (coef.reshape(hb * wb, 64) @ basis).reshape(hb, wb, 8, 8)
     return blocks.transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8) + 128.0
 
 
