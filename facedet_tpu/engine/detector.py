@@ -124,8 +124,13 @@ class DetectionModel:
         larger fused jits by the prediction engine."""
         raise NotImplementedError
 
+    def _forward_variant(self):
+        """Hashable key for anything (beyond conf/shape) that changes the
+        traced forward — e.g. the YOLO s2d fast-path toggle."""
+        return None
+
     @functools.lru_cache(maxsize=None)
-    def _jitted_forward(self, conf_threshold: float):
+    def _jitted_forward(self, conf_threshold: float, variant=None):
         return jax.jit(
             lambda variables, tiles: self.tile_forward(variables, tiles, conf_threshold)
         )
@@ -138,7 +143,9 @@ class DetectionModel:
         # device-committed weights (load_model inits under the CPU device;
         # passing CPU-committed params to an accelerator jit re-uploads the
         # whole tree every call — see predict._resident_variables)
-        return self._jitted_forward(float(conf))(_resident_variables(self), tiles)
+        return self._jitted_forward(float(conf), self._forward_variant())(
+            _resident_variables(self), tiles
+        )
 
     def _forward_cache(self):
         return self._jitted_forward
@@ -256,11 +263,13 @@ class YoloV11PoseDetectionModel(DetectionModel):
         *args,
         scale: str = "s",
         dtype: str = "bfloat16",
+        bn_dtype: str = "float32",
         s2d_early: bool = True,
         **kwargs,
     ):
         self.scale = scale
         self.dtype = dtype
+        self.bn_dtype = bn_dtype
         # Exact space-to-depth rewrite of stem/down1/c3k2_0 (models/yolo_s2d.py):
         # same math, ~2.5x faster early backbone on TPU (lane-padding economics).
         self.s2d_early = s2d_early
@@ -274,6 +283,7 @@ class YoloV11PoseDetectionModel(DetectionModel):
             num_classes=len(self.category_mapping),
             with_pose=True,
             dtype=self.dtype,
+            bn_dtype=self.bn_dtype,
         )
         self.model = YoloV11(self.cfg)
         if self.model_path is None:
@@ -296,6 +306,9 @@ class YoloV11PoseDetectionModel(DetectionModel):
             )
         else:
             raise ValueError(f"unsupported checkpoint format: {self.model_path}")
+
+    def _forward_variant(self):
+        return bool(self.s2d_early)
 
     def tile_forward(self, variables, tiles, conf_threshold: float) -> Detections:
         from facedet_tpu.models.yolo_decode import (

@@ -137,6 +137,9 @@ def pipeline_key(
         bool(use_pallas_gather),
         str(input_format),
         int(fetch_capacity) if fetch_capacity else 0,
+        # anything else that changes the traced forward (e.g. the YOLO s2d
+        # fast-path toggle) — see DetectionModel._forward_variant
+        detection_model._forward_variant(),
     )
 
 
@@ -173,6 +176,7 @@ def _get_fused_pipeline(
         use_pallas,
         input_format,
         fetch_capacity,
+        _forward_variant,  # cache discriminator only; tile_forward reads the model
     ) = key
     def core(variables, image, offsets, tile_valid, true_hw):
         if input_format == "yuv420":

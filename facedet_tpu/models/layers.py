@@ -22,7 +22,13 @@ def autopad(k: int) -> int:
 
 
 class ConvBnAct(nn.Module):
-    """Conv2d(bias=False) + BatchNorm + SiLU — ultralytics ``Conv``."""
+    """Conv2d(bias=False) + BatchNorm + SiLU — ultralytics ``Conv``.
+
+    ``bn_dtype`` controls the BatchNorm/activation compute dtype. float32
+    (default) matches training numerics; bfloat16 keeps inter-layer
+    activations at 2 bytes — at inference BN is a folded affine, so this
+    halves the HBM traffic between convs for ~0.4% relative noise.
+    """
 
     features: int
     kernel: int = 1
@@ -30,6 +36,7 @@ class ConvBnAct(nn.Module):
     groups: int = 1
     act: bool = True
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -47,7 +54,7 @@ class ConvBnAct(nn.Module):
             use_running_average=not train,
             momentum=0.97,
             epsilon=1e-3,
-            dtype=jnp.float32,
+            dtype=self.bn_dtype,
             name="bn",
         )(x)
         return nn.silu(x) if self.act else x
@@ -61,12 +68,13 @@ class Bottleneck(nn.Module):
     expansion: float = 0.5
     kernels: tuple[int, int] = (3, 3)
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(self.features * self.expansion)
-        y = ConvBnAct(hidden, self.kernels[0], dtype=self.dtype, name="cv1")(x, train)
-        y = ConvBnAct(self.features, self.kernels[1], dtype=self.dtype, name="cv2")(y, train)
+        y = ConvBnAct(hidden, self.kernels[0], dtype=self.dtype, bn_dtype=self.bn_dtype, name="cv1")(x, train)
+        y = ConvBnAct(self.features, self.kernels[1], dtype=self.dtype, bn_dtype=self.bn_dtype, name="cv2")(y, train)
         if self.shortcut and x.shape[-1] == self.features:
             y = x + y
         return y
@@ -81,12 +89,13 @@ class C3k(nn.Module):
     expansion: float = 0.5
     kernel: int = 3
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(self.features * self.expansion)
-        a = ConvBnAct(hidden, 1, dtype=self.dtype, name="cv1")(x, train)
-        b = ConvBnAct(hidden, 1, dtype=self.dtype, name="cv2")(x, train)
+        a = ConvBnAct(hidden, 1, dtype=self.dtype, bn_dtype=self.bn_dtype, name="cv1")(x, train)
+        b = ConvBnAct(hidden, 1, dtype=self.dtype, bn_dtype=self.bn_dtype, name="cv2")(x, train)
         for i in range(self.n):
             a = Bottleneck(
                 hidden,
@@ -94,9 +103,10 @@ class C3k(nn.Module):
                 expansion=1.0,
                 kernels=(self.kernel, self.kernel),
                 dtype=self.dtype,
+                bn_dtype=self.bn_dtype,
                 name=f"m{i}",
             )(a, train)
-        return ConvBnAct(self.features, 1, dtype=self.dtype, name="cv3")(
+        return ConvBnAct(self.features, 1, dtype=self.dtype, bn_dtype=self.bn_dtype, name="cv3")(
             jnp.concatenate([a, b], axis=-1), train
         )
 
@@ -110,23 +120,24 @@ class C3k2(nn.Module):
     expansion: float = 0.5
     shortcut: bool = True
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(self.features * self.expansion)
-        y = ConvBnAct(2 * hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBnAct(2 * hidden, 1, dtype=self.dtype, bn_dtype=self.bn_dtype, name="cv1")(x, train)
         parts = [y[..., :hidden], y[..., hidden:]]
         for i in range(self.n):
             if self.c3k:
-                nxt = C3k(hidden, n=2, shortcut=self.shortcut, dtype=self.dtype, name=f"m{i}")(
+                nxt = C3k(hidden, n=2, shortcut=self.shortcut, dtype=self.dtype, bn_dtype=self.bn_dtype, name=f"m{i}")(
                     parts[-1], train
                 )
             else:
                 nxt = Bottleneck(
-                    hidden, shortcut=self.shortcut, expansion=0.5, dtype=self.dtype, name=f"m{i}"
+                    hidden, shortcut=self.shortcut, expansion=0.5, dtype=self.dtype, bn_dtype=self.bn_dtype, name=f"m{i}"
                 )(parts[-1], train)
             parts.append(nxt)
-        return ConvBnAct(self.features, 1, dtype=self.dtype, name="cv2")(
+        return ConvBnAct(self.features, 1, dtype=self.dtype, bn_dtype=self.bn_dtype, name="cv2")(
             jnp.concatenate(parts, axis=-1), train
         )
 
@@ -137,11 +148,12 @@ class SPPF(nn.Module):
     features: int
     pool: int = 5
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = x.shape[-1] // 2
-        y = ConvBnAct(hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBnAct(hidden, 1, dtype=self.dtype, bn_dtype=self.bn_dtype, name="cv1")(x, train)
         outs = [y]
         for _ in range(3):
             outs.append(
@@ -152,7 +164,7 @@ class SPPF(nn.Module):
                     padding=((self.pool // 2,) * 2, (self.pool // 2,) * 2),
                 )
             )
-        return ConvBnAct(self.features, 1, dtype=self.dtype, name="cv2")(
+        return ConvBnAct(self.features, 1, dtype=self.dtype, bn_dtype=self.bn_dtype, name="cv2")(
             jnp.concatenate(outs, axis=-1), train
         )
 
@@ -168,6 +180,7 @@ class PSAAttention(nn.Module):
     num_heads: int
     attn_ratio: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -176,7 +189,7 @@ class PSAAttention(nn.Module):
         head_dim = self.dim // self.num_heads
         key_dim = int(head_dim * self.attn_ratio)
         nh_kd = key_dim * self.num_heads
-        qkv = ConvBnAct(self.dim + 2 * nh_kd, 1, act=False, dtype=self.dtype, name="qkv")(
+        qkv = ConvBnAct(self.dim + 2 * nh_kd, 1, act=False, dtype=self.dtype, bn_dtype=self.bn_dtype, name="qkv")(
             x, train
         )
         qkv = qkv.reshape(b, n, self.num_heads, 2 * key_dim + head_dim)
@@ -189,24 +202,25 @@ class PSAAttention(nn.Module):
         out = out.reshape(b, h, w, self.dim)
         vmap = v.reshape(b, h, w, self.dim)
         pe = ConvBnAct(
-            self.dim, 3, groups=self.dim, act=False, dtype=self.dtype, name="pe"
+            self.dim, 3, groups=self.dim, act=False, dtype=self.dtype, bn_dtype=self.bn_dtype, name="pe"
         )(vmap, train)
         out = out + pe
-        return ConvBnAct(self.dim, 1, act=False, dtype=self.dtype, name="proj")(out, train)
+        return ConvBnAct(self.dim, 1, act=False, dtype=self.dtype, bn_dtype=self.bn_dtype, name="proj")(out, train)
 
 
 class PSABlock(nn.Module):
     features: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x + PSAAttention(
-            self.features, num_heads=self.num_heads, dtype=self.dtype, name="attn"
+            self.features, num_heads=self.num_heads, dtype=self.dtype, bn_dtype=self.bn_dtype, name="attn"
         )(x, train)
-        y = ConvBnAct(self.features * 2, 1, dtype=self.dtype, name="ffn0")(x, train)
-        y = ConvBnAct(self.features, 1, act=False, dtype=self.dtype, name="ffn1")(y, train)
+        y = ConvBnAct(self.features * 2, 1, dtype=self.dtype, bn_dtype=self.bn_dtype, name="ffn0")(x, train)
+        y = ConvBnAct(self.features, 1, act=False, dtype=self.dtype, bn_dtype=self.bn_dtype, name="ffn1")(y, train)
         return x + y
 
 
@@ -217,17 +231,18 @@ class C2PSA(nn.Module):
     n: int = 1
     expansion: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(self.features * self.expansion)
-        y = ConvBnAct(2 * hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBnAct(2 * hidden, 1, dtype=self.dtype, bn_dtype=self.bn_dtype, name="cv1")(x, train)
         a, b = y[..., :hidden], y[..., hidden:]
         for i in range(self.n):
             b = PSABlock(
-                hidden, num_heads=max(1, hidden // 64), dtype=self.dtype, name=f"m{i}"
+                hidden, num_heads=max(1, hidden // 64), dtype=self.dtype, bn_dtype=self.bn_dtype, name=f"m{i}"
             )(b, train)
-        return ConvBnAct(self.features, 1, dtype=self.dtype, name="cv2")(
+        return ConvBnAct(self.features, 1, dtype=self.dtype, bn_dtype=self.bn_dtype, name="cv2")(
             jnp.concatenate([a, b], axis=-1), train
         )
 

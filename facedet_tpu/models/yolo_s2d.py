@@ -104,21 +104,22 @@ def _conv(x: jax.Array, k: jax.Array, stride: int, pad) -> jax.Array:
     )
 
 
-def _bn_silu(x: jax.Array, bn_p, bn_s, repeat: int, act: bool = True) -> jax.Array:
-    """Folded inference BatchNorm (+SiLU) in float32, phase-repeated.
+def _bn_silu(x: jax.Array, bn_p, bn_s, repeat: int, bdt=jnp.float32, act: bool = True) -> jax.Array:
+    """Folded inference BatchNorm (+SiLU), phase-repeated.
 
-    Mirrors layers.ConvBnAct: BN runs in float32 (momentum/eps per that
-    module) and returns float32 activations.
+    Mirrors layers.ConvBnAct: the affine+SiLU run in ``bdt`` (the config's
+    bn_dtype — float32 matches training numerics, bfloat16 keeps activations
+    at 2 bytes) and the activation dtype is ``bdt``.
     """
     g = bn_p["scale"] / jnp.sqrt(bn_s["var"] + 1e-3)
     b = bn_p["bias"] - bn_s["mean"] * g
-    g = jnp.repeat(g, repeat)
-    b = jnp.repeat(b, repeat)
-    y = x.astype(jnp.float32) * g + b
+    g = jnp.repeat(g, repeat).astype(bdt)
+    b = jnp.repeat(b, repeat).astype(bdt)
+    y = x.astype(bdt) * g + b
     return jax.nn.silu(y) if act else y
 
 
-def _cba_s2d(x, params, stats, kernel_kind: str, dt) -> jax.Array:
+def _cba_s2d(x, params, stats, kernel_kind: str, dt, bdt) -> jax.Array:
     """ConvBnAct in s2d2 space. kernel_kind: 'pw' (1x1) or 's1' (3x3 stride 1)."""
     k = params["conv"]["kernel"]
     if kernel_kind == "pw":
@@ -127,14 +128,14 @@ def _cba_s2d(x, params, stats, kernel_kind: str, dt) -> jax.Array:
     else:
         k2 = _transform_kernel(k, _M_S1, 2)
         y = _conv(x.astype(dt), k2, 1, ((1, 1), (1, 1)))
-    return _bn_silu(y, params["bn"], stats["bn"], 4)
+    return _bn_silu(y, params["bn"], stats["bn"], 4, bdt)
 
 
-def _bottleneck_s2d(x, params, stats, dt) -> jax.Array:
+def _bottleneck_s2d(x, params, stats, dt, bdt) -> jax.Array:
     """Bottleneck(expansion=0.5, 3x3+3x3, residual) in s2d2 space."""
-    y = _cba_s2d(x, params["cv1"], stats["cv1"], "s1", dt)
-    y = _cba_s2d(y, params["cv2"], stats["cv2"], "s1", dt)
-    return x.astype(jnp.float32) + y
+    y = _cba_s2d(x, params["cv1"], stats["cv1"], "s1", dt, bdt)
+    y = _cba_s2d(y, params["cv2"], stats["cv2"], "s1", dt, bdt)
+    return x.astype(y.dtype) + y
 
 
 def s2d_early_forward(variables, x: jax.Array, cfg: YoloConfig) -> jax.Array:
@@ -145,6 +146,7 @@ def s2d_early_forward(variables, x: jax.Array, cfg: YoloConfig) -> jax.Array:
     post-BN+SiLU) ready for the ``down2`` layer.
     """
     dt = cfg.compute_dtype
+    bdt = cfg.bn_compute_dtype
     bp = variables["params"]["backbone"]
     bs = variables["batch_stats"]["backbone"]
 
@@ -153,21 +155,21 @@ def s2d_early_forward(variables, x: jax.Array, cfg: YoloConfig) -> jax.Array:
     # stem: natural 3x3 s2 3->ch(64); here 2x2 block conv, block pad (1, 0)
     k = _transform_kernel(bp["stem"]["conv"]["kernel"], _M_STEM, 4)
     y = _conv(x, k, 1, ((1, 0), (1, 0)))
-    y = _bn_silu(y, bp["stem"]["bn"], bs["stem"]["bn"], 4)
+    y = _bn_silu(y, bp["stem"]["bn"], bs["stem"]["bn"], 4, bdt)
 
     # down1: natural 3x3 s2 ch(64)->ch(128); here 3x3 s2 block conv
     k = _transform_kernel(bp["down1"]["conv"]["kernel"], _M_DOWN, 2)
     y = _conv(y.astype(dt), k, 2, ((1, 1), (1, 1)))
-    y = _bn_silu(y, bp["down1"]["bn"], bs["down1"]["bn"], 4)
+    y = _bn_silu(y, bp["down1"]["bn"], bs["down1"]["bn"], 4, bdt)
 
     # c3k2_0 (c3k=False, expansion 0.25) entirely in s2d2 space
     cp, cs = bp["c3k2_0"], bs["c3k2_0"]
     hidden4 = 4 * int(cfg.ch(256) * 0.25)
-    y = _cba_s2d(y, cp["cv1"], cs["cv1"], "pw", dt)
+    y = _cba_s2d(y, cp["cv1"], cs["cv1"], "pw", dt, bdt)
     parts = [y[..., :hidden4], y[..., hidden4:]]
     for i in range(cfg.depth(2)):
-        parts.append(_bottleneck_s2d(parts[-1], cp[f"m{i}"], cs[f"m{i}"], dt))
+        parts.append(_bottleneck_s2d(parts[-1], cp[f"m{i}"], cs[f"m{i}"], dt, bdt))
     y = jnp.concatenate(parts, axis=-1)
-    y = _cba_s2d(y, cp["cv2"], cs["cv2"], "pw", dt)
+    y = _cba_s2d(y, cp["cv2"], cs["cv2"], "pw", dt, bdt)
 
     return depth_to_space(y, 2)

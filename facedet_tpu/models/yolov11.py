@@ -54,6 +54,9 @@ class YoloConfig:
     kpt_dims: int = 3
     with_pose: bool = True
     dtype: str = "float32"
+    # BatchNorm/activation compute dtype; "bfloat16" halves inter-layer
+    # activation HBM traffic at inference (BN is a folded affine there)
+    bn_dtype: str = "float32"
 
     def ch(self, c: int) -> int:
         depth, width, max_ch = SCALES[self.scale]
@@ -67,6 +70,10 @@ class YoloConfig:
     def compute_dtype(self):
         return jnp.dtype(self.dtype)
 
+    @property
+    def bn_compute_dtype(self):
+        return jnp.dtype(self.bn_dtype)
+
 
 class Backbone(nn.Module):
     cfg: YoloConfig
@@ -74,23 +81,24 @@ class Backbone(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, from_early: bool = False):
         cfg, dt = self.cfg, self.cfg.compute_dtype
+        bdt = cfg.bn_compute_dtype
         c = cfg.ch
         if not from_early:
-            x = ConvBnAct(c(64), 3, 2, dtype=dt, name="stem")(x, train)  # P1/2
-            x = ConvBnAct(c(128), 3, 2, dtype=dt, name="down1")(x, train)  # P2/4
+            x = ConvBnAct(c(64), 3, 2, dtype=dt, bn_dtype=bdt, name="stem")(x, train)  # P1/2
+            x = ConvBnAct(c(128), 3, 2, dtype=dt, bn_dtype=bdt, name="down1")(x, train)  # P2/4
             x = C3k2(
-                c(256), cfg.depth(2), c3k=False, expansion=0.25, dtype=dt, name="c3k2_0"
+                c(256), cfg.depth(2), c3k=False, expansion=0.25, dtype=dt, bn_dtype=bdt, name="c3k2_0"
             )(x, train)
-        x = ConvBnAct(c(256), 3, 2, dtype=dt, name="down2")(x, train)  # P3/8
-        p3 = C3k2(c(512), cfg.depth(2), c3k=False, expansion=0.25, dtype=dt, name="c3k2_1")(
+        x = ConvBnAct(c(256), 3, 2, dtype=dt, bn_dtype=bdt, name="down2")(x, train)  # P3/8
+        p3 = C3k2(c(512), cfg.depth(2), c3k=False, expansion=0.25, dtype=dt, bn_dtype=bdt, name="c3k2_1")(
             x, train
         )
-        x = ConvBnAct(c(512), 3, 2, dtype=dt, name="down3")(p3, train)  # P4/16
-        p4 = C3k2(c(512), cfg.depth(2), c3k=True, dtype=dt, name="c3k2_2")(x, train)
-        x = ConvBnAct(c(1024), 3, 2, dtype=dt, name="down4")(p4, train)  # P5/32
-        x = C3k2(c(1024), cfg.depth(2), c3k=True, dtype=dt, name="c3k2_3")(x, train)
-        x = SPPF(c(1024), 5, dtype=dt, name="sppf")(x, train)
-        p5 = C2PSA(c(1024), cfg.depth(2), dtype=dt, name="c2psa")(x, train)
+        x = ConvBnAct(c(512), 3, 2, dtype=dt, bn_dtype=bdt, name="down3")(p3, train)  # P4/16
+        p4 = C3k2(c(512), cfg.depth(2), c3k=True, dtype=dt, bn_dtype=bdt, name="c3k2_2")(x, train)
+        x = ConvBnAct(c(1024), 3, 2, dtype=dt, bn_dtype=bdt, name="down4")(p4, train)  # P5/32
+        x = C3k2(c(1024), cfg.depth(2), c3k=True, dtype=dt, bn_dtype=bdt, name="c3k2_3")(x, train)
+        x = SPPF(c(1024), 5, dtype=dt, bn_dtype=bdt, name="sppf")(x, train)
+        p5 = C2PSA(c(1024), cfg.depth(2), dtype=dt, bn_dtype=bdt, name="c2psa")(x, train)
         return p3, p4, p5
 
 
@@ -100,24 +108,25 @@ class PanNeck(nn.Module):
     @nn.compact
     def __call__(self, feats, train: bool = False):
         cfg, dt = self.cfg, self.cfg.compute_dtype
+        bdt = cfg.bn_compute_dtype
         c = cfg.ch
         p3, p4, p5 = feats
         x = jnp.concatenate([upsample2x(p5), p4], axis=-1)
-        n4 = C3k2(c(512), cfg.depth(2), c3k=cfg.scale in ("l", "x", "m"), dtype=dt, name="up0")(
+        n4 = C3k2(c(512), cfg.depth(2), c3k=cfg.scale in ("l", "x", "m"), dtype=dt, bn_dtype=bdt, name="up0")(
             x, train
         )
         x = jnp.concatenate([upsample2x(n4), p3], axis=-1)
-        n3 = C3k2(c(256), cfg.depth(2), c3k=cfg.scale in ("l", "x", "m"), dtype=dt, name="up1")(
+        n3 = C3k2(c(256), cfg.depth(2), c3k=cfg.scale in ("l", "x", "m"), dtype=dt, bn_dtype=bdt, name="up1")(
             x, train
         )
-        x = ConvBnAct(c(256), 3, 2, dtype=dt, name="down0")(n3, train)
+        x = ConvBnAct(c(256), 3, 2, dtype=dt, bn_dtype=bdt, name="down0")(n3, train)
         x = jnp.concatenate([x, n4], axis=-1)
-        m4 = C3k2(c(512), cfg.depth(2), c3k=cfg.scale in ("l", "x", "m"), dtype=dt, name="pan0")(
+        m4 = C3k2(c(512), cfg.depth(2), c3k=cfg.scale in ("l", "x", "m"), dtype=dt, bn_dtype=bdt, name="pan0")(
             x, train
         )
-        x = ConvBnAct(c(512), 3, 2, dtype=dt, name="down1")(m4, train)
+        x = ConvBnAct(c(512), 3, 2, dtype=dt, bn_dtype=bdt, name="down1")(m4, train)
         x = jnp.concatenate([x, p5], axis=-1)
-        m5 = C3k2(c(1024), cfg.depth(2), c3k=True, dtype=dt, name="pan1")(x, train)
+        m5 = C3k2(c(1024), cfg.depth(2), c3k=True, dtype=dt, bn_dtype=bdt, name="pan1")(x, train)
         return n3, m4, m5
 
 
@@ -130,6 +139,7 @@ class DetectHead(nn.Module):
     @nn.compact
     def __call__(self, feats, train: bool = False):
         cfg, dt = self.cfg, self.cfg.compute_dtype
+        bdt = cfg.bn_compute_dtype
         chans = [f.shape[-1] for f in feats]
         c2 = max(16, chans[0] // 4, REG_MAX * 4)
         c3 = max(chans[0], min(cfg.num_classes, 100))
@@ -137,22 +147,22 @@ class DetectHead(nn.Module):
         c4 = max(chans[0] // 4, nk)
         outs = []
         for i, f in enumerate(feats):
-            box = ConvBnAct(c2, 3, dtype=dt, name=f"box{i}_0")(f, train)
-            box = ConvBnAct(c2, 3, dtype=dt, name=f"box{i}_1")(box, train)
+            box = ConvBnAct(c2, 3, dtype=dt, bn_dtype=bdt, name=f"box{i}_0")(f, train)
+            box = ConvBnAct(c2, 3, dtype=dt, bn_dtype=bdt, name=f"box{i}_1")(box, train)
             box = nn.Conv(4 * REG_MAX, (1, 1), dtype=dt, name=f"box{i}_2")(box)
 
             cls = ConvBnAct(
-                f.shape[-1], 3, groups=f.shape[-1], dtype=dt, name=f"cls{i}_dw0"
+                f.shape[-1], 3, groups=f.shape[-1], dtype=dt, bn_dtype=bdt, name=f"cls{i}_dw0"
             )(f, train)
-            cls = ConvBnAct(c3, 1, dtype=dt, name=f"cls{i}_pw0")(cls, train)
-            cls = ConvBnAct(c3, 3, groups=c3, dtype=dt, name=f"cls{i}_dw1")(cls, train)
-            cls = ConvBnAct(c3, 1, dtype=dt, name=f"cls{i}_pw1")(cls, train)
+            cls = ConvBnAct(c3, 1, dtype=dt, bn_dtype=bdt, name=f"cls{i}_pw0")(cls, train)
+            cls = ConvBnAct(c3, 3, groups=c3, dtype=dt, bn_dtype=bdt, name=f"cls{i}_dw1")(cls, train)
+            cls = ConvBnAct(c3, 1, dtype=dt, bn_dtype=bdt, name=f"cls{i}_pw1")(cls, train)
             cls = nn.Conv(cfg.num_classes, (1, 1), dtype=dt, name=f"cls{i}_out")(cls)
 
             level = {"box": box.astype(jnp.float32), "cls": cls.astype(jnp.float32)}
             if cfg.with_pose:
-                kpt = ConvBnAct(c4, 3, dtype=dt, name=f"kpt{i}_0")(f, train)
-                kpt = ConvBnAct(c4, 3, dtype=dt, name=f"kpt{i}_1")(kpt, train)
+                kpt = ConvBnAct(c4, 3, dtype=dt, bn_dtype=bdt, name=f"kpt{i}_0")(f, train)
+                kpt = ConvBnAct(c4, 3, dtype=dt, bn_dtype=bdt, name=f"kpt{i}_1")(kpt, train)
                 kpt = nn.Conv(nk, (1, 1), dtype=dt, name=f"kpt{i}_2")(kpt)
                 level["kpt"] = kpt.astype(jnp.float32)
             outs.append(level)

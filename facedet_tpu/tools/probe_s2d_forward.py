@@ -18,17 +18,25 @@ def main(tiles: int = 42, size: int = 640, k: int = 9, rounds: int = 7):
     from facedet_tpu.engine import predict as P
     from facedet_tpu.engine.detector import YoloV11PoseDetectionModel
 
-    model = YoloV11PoseDetectionModel(
-        scale="s", dtype="bfloat16", confidence_threshold=0.25,
-        image_size=size, max_detections_per_tile=300,
-    )
-    variables = P._resident_variables(model)
     rng = np.random.default_rng(0)
     x = jax.device_put(jnp.asarray(rng.random((tiles, size, size, 3), np.float32)))
     jax.block_until_ready(x)
 
-    for mode in ("standard", "s2d"):
-        model.s2d_early = mode == "s2d"
+    models = {}
+    for bn in ("float32", "bfloat16"):
+        models[bn] = YoloV11PoseDetectionModel(
+            scale="s", dtype="bfloat16", bn_dtype=bn, confidence_threshold=0.25,
+            image_size=size, max_detections_per_tile=300,
+        )
+
+    for mode, (bn, s2d) in {
+        "standard": ("float32", False),
+        "s2d": ("float32", True),
+        "s2d+bnbf16": ("bfloat16", True),
+    }.items():
+        model = models[bn]
+        variables = P._resident_variables(model)
+        model.s2d_early = s2d
 
         @jax.jit
         def rep(n, variables, x):

@@ -45,7 +45,7 @@ def build_stage_fn(model, key, stage: str):
     (
         bucket_h, bucket_w, slice_h, slice_w, standard, conf, mode, metric,
         threshold, agnostic, capacity, img_size, _use_pallas, input_format,
-        _fetch_capacity,
+        _fetch_capacity, _forward_variant,
     ) = key
     assert input_format == "dct420s"
 
@@ -75,7 +75,14 @@ def build_stage_fn(model, key, stage: str):
             return tree_sum(tiles)
 
         # -- detector forward split: raw conv outs / +decode / +topk / +tile-NMS
-        outs = model.model.apply(variables, tiles, train=False)
+        # mirror tile_forward's s2d gate so "convs" measures the serving path
+        if getattr(model, "s2d_early", False):
+            from facedet_tpu.models.yolo_s2d import s2d_early_forward
+
+            early = s2d_early_forward(variables, tiles, model.cfg)
+            outs = model.model.apply(variables, early, train=False, from_early=True)
+        else:
+            outs = model.model.apply(variables, tiles, train=False)
         if stage == "convs":
             return tree_sum(outs)
         preds = decode_predictions(outs)
