@@ -263,12 +263,19 @@ class YoloV11PoseDetectionModel(DetectionModel):
         *args,
         scale: str = "s",
         dtype: str = "bfloat16",
-        bn_dtype: str = "float32",
+        bn_dtype: str | None = None,
         s2d_early: bool = True,
         **kwargs,
     ):
         self.scale = scale
         self.dtype = dtype
+        # BatchNorm/activation compute dtype. Default follows the conv dtype:
+        # bf16 serving keeps inter-layer activations at 2 bytes (BN is a
+        # folded affine at inference; measured ~9% faster forward, boxes
+        # within 1px / scores within 0.02 of f32 BN on the golden checkpoint).
+        # Eval tools that produce committed artifacts pin "float32".
+        if bn_dtype is None:
+            bn_dtype = "bfloat16" if dtype == "bfloat16" else "float32"
         self.bn_dtype = bn_dtype
         # Exact space-to-depth rewrite of stem/down1/c3k2_0 (models/yolo_s2d.py):
         # same math, ~2.5x faster early backbone on TPU (lane-padding economics).

@@ -235,6 +235,9 @@ def main(argv=None):
         model_path=args.weights,
         scale=args.scale,
         dtype="bfloat16",
+        # pin f32 BN so committed parity artifacts stay reproducible across
+        # serving-dtype defaults (serving uses bf16 BN; boxes agree <1px)
+        bn_dtype="float32",
         confidence_threshold=min(args.conf, 0.25),
         image_size=args.imgsz,
     )

@@ -97,6 +97,9 @@ def main(argv=None):
 
     model = YoloV11PoseDetectionModel(
         model_path=args.weights, scale=args.scale, dtype="bfloat16",
+        # f32 BN: committed official-eval artifacts stay reproducible across
+        # serving-dtype defaults (serving uses bf16 BN)
+        bn_dtype="float32",
         confidence_threshold=0.25, image_size=args.imgsz,
     )
     summary = {"weights": args.weights, "modes": {}}
