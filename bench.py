@@ -218,11 +218,11 @@ def _device_accounting(model, img, cfg, bsz):
         )
         bytes_h2d = dct420_bytes(bucket_h, bucket_w)
     elif input_format == "dct420s":
-        # sparse-bitmap wire: nominal bytes vary with content, so report the
-        # actually-staged bytes per image
-        batch_tuple = P._stage_batch_host([img] * bsz, input_format, bucket_h, bucket_w)
-        batch_dev = tuple(jnp.asarray(p) for p in batch_tuple)
-        bytes_h2d = sum(p.nbytes for p in batch_tuple) // bsz
+        # sparse wire: nominal bytes vary with content, so report the
+        # actually-staged bytes per image (one contiguous wire buffer)
+        wire = P._stage_batch_host([img] * bsz, input_format, bucket_h, bucket_w)
+        batch_dev = jnp.asarray(wire)
+        bytes_h2d = wire.nbytes // bsz
     elif input_format == "yuv420":
         y_p, uv_p = P._pad_yuv_planes(img, bucket_h, bucket_w)
         batch_dev = (
@@ -259,8 +259,10 @@ def _device_accounting(model, img, cfg, bsz):
                         (i % 101).astype(batch[0].dtype)
                     ),
                 ) + batch[1:]
-            else:
-                b = batch.at[0, 0, 0, 0].set((i % 251).astype(batch.dtype))
+            else:  # uint8 RGB canvas [n,h,w,3] or 1-D dct420s wire
+                b = batch.at[(0,) * batch.ndim].set(
+                    (i % 251).astype(batch.dtype)
+                )
             det = fused(variables, b, offsets, tile_valid, true_hw)
             return acc + det.scores.sum()
 

@@ -300,11 +300,24 @@ def _get_fused_pipeline(
             clipped = _truncate_by_score(clipped, fetch_capacity)
         return clipped
 
+    vcore = jax.vmap(core, in_axes=(None, 0, None, None, 0))
+
+    def batch_core(variables, image, offsets, tile_valid, true_hw):
+        if input_format == "dct420s" and not isinstance(image, tuple):
+            # single-buffer wire from _stage_batch_host: bitcast-unpack the
+            # six staged arrays on device (shapes static at trace time)
+            from facedet_tpu.ops.jpeg_dct import wire_unpack_dct420s
+
+            image = wire_unpack_dct420s(
+                image, true_hw.shape[0], bucket_h, bucket_w
+            )
+        return vcore(variables, image, offsets, tile_valid, true_hw)
+
     entry = {
         "single": jax.jit(core),
         # batched-stream variant: amortises per-dispatch/link overhead over a
         # whole same-size image batch (weights and tile grid broadcast)
-        "batch": jax.jit(jax.vmap(core, in_axes=(None, 0, None, None, 0))),
+        "batch": jax.jit(batch_core),
     }
     cache[cache_key] = entry
     return entry
@@ -500,8 +513,29 @@ def _stage_batch_host(imgs: list, input_format: str, bucket_h: int, bucket_w: in
             qy[i] = im.qy
             qc[i] = im.qc
         if input_format == "dct420s":
-            deltas, vals = pack_sparse_ac_batch(flat2d)
-            return y_dc, uv_dc, qy, qc, deltas, vals
+            from facedet_tpu.ops.jpeg_dct import _wire_sections
+
+            # ONE contiguous upload buffer: six device_puts pay tunnel
+            # setup/RTT each (0.46 -> 0.32 s per 64-image batch measured);
+            # the fused batch pipeline bitcast-unpacks on device. The pack
+            # writes deltas/vals straight into the wire tail; only the small
+            # DC/q head sections (~4.8 MB at batch 64) are copied in.
+            sizes = _wire_sections(n, bucket_h, bucket_w)
+            fixed = sum(sizes)
+            wire = None
+
+            def alloc(cap):
+                nonlocal wire
+                wire = np.empty(fixed + 3 * n * cap, np.uint8)
+                d = wire[fixed : fixed + 2 * n * cap].view(np.uint16)
+                v = wire[fixed + 2 * n * cap :].view(np.int8)
+                return d.reshape(n, cap), v.reshape(n, cap)
+
+            pack_sparse_ac_batch(flat2d, alloc=alloc)
+            o = np.cumsum([0] + sizes)
+            for a, lo, hi in zip((y_dc, uv_dc, qy, qc), o[:-1], o[1:]):
+                wire[lo:hi] = a.view(np.uint8).ravel()
+            return wire
         return y_dc, y_ac, uv_dc, uv_ac, qy, qc
     if input_format == "yuv420":
         y_b = np.zeros((n, bucket_h, bucket_w), np.uint8)

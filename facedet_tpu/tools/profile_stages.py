@@ -162,7 +162,10 @@ def main(bsz: int = 8, k: int = 9, rounds: int = 5):
         0.5, True, 1024, False, "dct420s",
     )
 
-    staged = P._stage_batch_host([planes] * bsz, "dct420s", bucket_h, bucket_w)
+    from facedet_tpu.ops.jpeg_dct import wire_unpack_dct420s_np
+
+    wire = P._stage_batch_host([planes] * bsz, "dct420s", bucket_h, bucket_w)
+    staged = wire_unpack_dct420s_np(wire, bsz, bucket_h, bucket_w)
     batch_dev = tuple(jax.device_put(jnp.asarray(p)) for p in staged)
     variables = P._resident_variables(model)
     offs = jax.device_put(jnp.asarray(offsets))

@@ -360,7 +360,12 @@ def test_stage_batch_host_sparse_matches_dense():
     """dct420s staging (direct-to-flat views + batch pack) must reproduce the
     dense dct420 staging's AC bytes exactly, padding regions included."""
     from facedet_tpu.engine.predict import _stage_batch_host
-    from facedet_tpu.ops.jpeg_dct import encode_dct420, unpack_sparse_ac_np
+    from facedet_tpu.ops.jpeg_dct import (
+        encode_dct420,
+        unpack_sparse_ac_np,
+        wire_unpack_dct420s,
+        wire_unpack_dct420s_np,
+    )
 
     rng = np.random.default_rng(5)
     imgs = [
@@ -371,9 +376,15 @@ def test_stage_batch_host_sparse_matches_dense():
     y_dc_d, y_ac_d, uv_dc_d, uv_ac_d, qy_d, qc_d = _stage_batch_host(
         imgs, "dct420", bh, bw
     )
-    y_dc_s, uv_dc_s, qy_s, qc_s, deltas, vals = _stage_batch_host(
-        imgs, "dct420s", bh, bw
+    wire = _stage_batch_host(imgs, "dct420s", bh, bw)
+    assert wire.dtype == np.uint8 and wire.ndim == 1
+    y_dc_s, uv_dc_s, qy_s, qc_s, deltas, vals = wire_unpack_dct420s_np(
+        wire, 3, bh, bw
     )
+    # the device bitcast unpack must agree with the host views bit-for-bit
+    dev = wire_unpack_dct420s(jnp.asarray(wire), 3, bh, bw)
+    for host, d in zip((y_dc_s, uv_dc_s, qy_s, qc_s, deltas, vals), dev):
+        np.testing.assert_array_equal(host, np.asarray(d))
     np.testing.assert_array_equal(y_dc_d, y_dc_s)
     np.testing.assert_array_equal(uv_dc_d, uv_dc_s)
     np.testing.assert_array_equal(qy_d, qy_s)
