@@ -178,7 +178,7 @@ def _get_fused_pipeline(
         fetch_capacity,
         _forward_variant,  # cache discriminator only; tile_forward reads the model
     ) = key
-    def core(variables, image, offsets, tile_valid, true_hw):
+    def decode_canvas(image):
         if input_format == "yuv420":
             # low-bandwidth ingest: planar (Y, UV) uint8 at 1.5 bytes/pixel;
             # chroma upsample + BT.601 conversion run on device and fuse into
@@ -236,45 +236,36 @@ def _get_fused_pipeline(
                 if image.dtype == jnp.uint8
                 else image.astype(jnp.float32)
             )
-        padded = imgf  # already padded to (bucket_h, bucket_w) on host
-        tiles = gather_tiles(padded, offsets, slice_h, slice_w, use_pallas=use_pallas)
-        if mesh is not None:
-            # spatial/"context" parallelism (SURVEY.md §2.4): shard THIS
-            # image's tile batch over the mesh's tile axis; GSPMD partitions
-            # the detector forward across chips and all-gathers the per-tile
-            # detections before the (replicated) global merge over ICI
-            from jax.sharding import NamedSharding, PartitionSpec
+        return imgf  # already padded to (bucket_h, bucket_w) on host
 
-            tiles = jax.lax.with_sharding_constraint(
-                tiles, NamedSharding(mesh, PartitionSpec("tile", None, None, None))
-            )
-        det = detection_model.tile_forward(variables, tiles, conf)
+    def letterbox_full(padded, true_hw):
+        # dynamic letterbox: traced per-image scale, static 640/1024-canvas
+        # output — the true-size letterbox semantics of the reference's
+        # full-image pass without a compile per unique resolution
+        scale = jnp.minimum(img_size / true_hw[0], img_size / true_hw[1])
+        full_tile = jax.image.scale_and_translate(
+            padded,
+            (img_size, img_size, padded.shape[2]),
+            (0, 1),
+            jnp.stack([scale, scale]),
+            jnp.zeros(2),
+            method="linear",
+        )
+        return full_tile, scale
+
+    def rescale_full_det(full_det, scale):
+        kpts = full_det.kpts.at[..., :2].divide(scale)
+        return Detections(
+            boxes=full_det.boxes / scale,
+            scores=full_det.scores,
+            classes=full_det.classes,
+            kpts=kpts,
+            valid=full_det.valid,
+        )
+
+    def tail(det, full_det, offsets, tile_valid, true_hw):
         flat = _shift_and_flatten(det, offsets, tile_valid)
-        parts = [flat]
-        if standard:
-            # dynamic letterbox: traced per-image scale, static 640-canvas
-            # output — the true-size letterbox semantics of the reference's
-            # full-image pass without a compile per unique resolution
-            scale = jnp.minimum(img_size / true_hw[0], img_size / true_hw[1])
-            full_tile = jax.image.scale_and_translate(
-                padded,
-                (img_size, img_size, padded.shape[2]),
-                (0, 1),
-                jnp.stack([scale, scale]),
-                jnp.zeros(2),
-                method="linear",
-            )
-            full_det = detection_model.tile_forward(variables, full_tile[None], conf)
-            full_det = jax.tree.map(lambda x: x[0], full_det)
-            kpts = full_det.kpts.at[..., :2].divide(scale)
-            full_det = Detections(
-                boxes=full_det.boxes / scale,
-                scores=full_det.scores,
-                classes=full_det.classes,
-                kpts=kpts,
-                valid=full_det.valid,
-            )
-            parts.append(full_det)
+        parts = [flat] if full_det is None else [flat, full_det]
         combined = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -300,9 +291,37 @@ def _get_fused_pipeline(
             clipped = _truncate_by_score(clipped, fetch_capacity)
         return clipped
 
-    vcore = jax.vmap(core, in_axes=(None, 0, None, None, 0))
+    def core(variables, image, offsets, tile_valid, true_hw):
+        padded = decode_canvas(image)
+        tiles = gather_tiles(padded, offsets, slice_h, slice_w, use_pallas=use_pallas)
+        if mesh is not None:
+            # spatial/"context" parallelism (SURVEY.md §2.4): shard THIS
+            # image's tile batch over the mesh's tile axis; GSPMD partitions
+            # the detector forward across chips and all-gathers the per-tile
+            # detections before the (replicated) global merge over ICI
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            tiles = jax.lax.with_sharding_constraint(
+                tiles, NamedSharding(mesh, PartitionSpec("tile", None, None, None))
+            )
+        det = detection_model.tile_forward(variables, tiles, conf)
+        full_det = None
+        if standard:
+            full_tile, scale = letterbox_full(padded, true_hw)
+            full_det = detection_model.tile_forward(variables, full_tile[None], conf)
+            full_det = jax.tree.map(lambda x: x[0], full_det)
+            full_det = rescale_full_det(full_det, scale)
+        return tail(det, full_det, offsets, tile_valid, true_hw)
 
     def batch_core(variables, image, offsets, tile_valid, true_hw):
+        """Chunked flat-forward batched variant. Ingest and merge are vmapped
+        per image, but the detector runs over FLATTENED [C*T] tile batches
+        (and [C] letterboxed standard batches): vmap-nesting the whole
+        per-image pipeline costs ~0.36 ms/image extra in the backbone alone
+        (measured, BENCH.md round-3 layer profile). Chunking via lax.map
+        bounds the materialized tile buffer — a single [B*T,640,640,3] bf16
+        conv input at B=64 is a 9-20 GB allocation (padded layout) and OOMs
+        the 16 GB chip."""
         if input_format == "dct420s" and not isinstance(image, tuple):
             # single-buffer wire from _stage_batch_host: bitcast-unpack the
             # six staged arrays on device (shapes static at trace time)
@@ -311,7 +330,41 @@ def _get_fused_pipeline(
             image = wire_unpack_dct420s(
                 image, true_hw.shape[0], bucket_h, bucket_w
             )
-        return vcore(variables, image, offsets, tile_valid, true_hw)
+        b = true_hw.shape[0]
+        t = offsets.shape[0]
+        # largest divisor of b keeping the flat tile batch <= 96 (2.4 GB bf16)
+        c = max(d for d in range(1, b + 1) if b % d == 0 and (d == 1 or d * t <= 96))
+
+        def chunk_fn(args):
+            img_c, hw_c = args
+            padded = jax.vmap(decode_canvas)(img_c)
+            tiles = jax.vmap(
+                lambda p: gather_tiles(
+                    p, offsets, slice_h, slice_w, use_pallas=use_pallas
+                )
+            )(padded)
+            det = detection_model.tile_forward(
+                variables, tiles.reshape((c * t,) + tiles.shape[2:]), conf
+            )
+            det = jax.tree.map(lambda x: x.reshape((c, t) + x.shape[1:]), det)
+            full_det = None
+            if standard:
+                full_tiles, scales = jax.vmap(letterbox_full)(padded, hw_c)
+                full_det = detection_model.tile_forward(variables, full_tiles, conf)
+                full_det = jax.vmap(rescale_full_det)(full_det, scales)
+            if full_det is None:
+                return jax.vmap(
+                    lambda d, hw: tail(d, None, offsets, tile_valid, hw)
+                )(det, hw_c)
+            return jax.vmap(
+                lambda d, f, hw: tail(d, f, offsets, tile_valid, hw)
+            )(det, full_det, hw_c)
+
+        img_r = jax.tree.map(
+            lambda x: x.reshape((b // c, c) + x.shape[1:]), image
+        )
+        out = jax.lax.map(chunk_fn, (img_r, true_hw.reshape(b // c, c, 2)))
+        return jax.tree.map(lambda x: x.reshape((b,) + x.shape[2:]), out)
 
     entry = {
         "single": jax.jit(core),
@@ -663,14 +716,14 @@ def _dispatch_sliced(
         if device:  # keep aux inputs on the image's (possibly non-default) device
             dev = next(iter(device))
             variables = _resident_variables(detection_model, dev)
-            offsets_dev = jax.device_put(jnp.asarray(offsets), dev)
-            tile_valid_dev = jax.device_put(jnp.asarray(tile_valid), dev)
-            true_hw = jax.device_put(jnp.asarray([h, w], jnp.float32), dev)
+            offsets_dev, tile_valid_dev, true_hw = _resident_grid_consts(
+                offsets, tile_valid, None, h, w, dev
+            )
         else:
             variables = _resident_variables(detection_model)
-            offsets_dev = jnp.asarray(offsets)
-            tile_valid_dev = jnp.asarray(tile_valid)
-            true_hw = jnp.asarray([h, w], jnp.float32)
+            offsets_dev, tile_valid_dev, true_hw = _resident_grid_consts(
+                offsets, tile_valid, None, h, w
+            )
     merged_dev = fused["single"](
         variables,
         img_dev,
@@ -680,6 +733,35 @@ def _dispatch_sliced(
     )
     durations["prediction"] = time.perf_counter() - t0
     return merged_dev, grid, t_bucket, durations
+
+
+_GRID_CONSTS: dict = {}
+
+
+def _resident_grid_consts(offsets, tile_valid, n, h, w, device=None):
+    """Device-committed (offsets, tile_valid, true_hw), cached by value.
+
+    These tiny arrays were re-uploaded on every dispatch; over the tunnel
+    each device_put pays ~one RTT (link_rtt_ms ~33 ms), so three of them add
+    ~0.1 s per batch — pure overhead for a stream of same-size images whose
+    slice grid never changes. ``n`` is the batch size (None → the single-image
+    shape ``true_hw=[2]`` used by the non-batched pipeline)."""
+    if device is None:
+        device = jax.devices()[0]
+    key = (offsets.tobytes(), tile_valid.tobytes(), n, h, w, device)
+    entry = _GRID_CONSTS.get(key)
+    if entry is None:
+        hw = jnp.asarray([h, w], jnp.float32)
+        entry = jax.device_put(
+            (
+                jnp.asarray(offsets),
+                jnp.asarray(tile_valid),
+                hw if n is None else jnp.tile(hw[None], (n, 1)),
+            ),
+            device,
+        )
+        _GRID_CONSTS[key] = entry
+    return entry
 
 
 def _dispatch_sliced_batch(imgs: list, detection_model: DetectionModel, opts: dict):
@@ -717,12 +799,14 @@ def _dispatch_sliced_batch(imgs: list, detection_model: DetectionModel, opts: di
         batch_dev = tuple(jnp.asarray(a) for a in staged)
     else:
         batch_dev = jnp.asarray(staged)
-    true_hw = jnp.tile(jnp.asarray([[h, w]], jnp.float32), (len(imgs), 1))
+    offsets_dev, tile_valid_dev, true_hw = _resident_grid_consts(
+        offsets, tile_valid, len(imgs), h, w
+    )
     return fused["batch"](
         _resident_variables(detection_model),
         batch_dev,
-        jnp.asarray(offsets),
-        jnp.asarray(tile_valid),
+        offsets_dev,
+        tile_valid_dev,
         true_hw,
     )
 
