@@ -178,6 +178,18 @@ def _get_fused_pipeline(
         fetch_capacity,
         _forward_variant,  # cache discriminator only; tile_forward reads the model
     ) = key
+    # the decoded canvas is stored in the detector's compute dtype: for bf16
+    # serving this halves the HBM bytes moved by the IDCT block relayout, the
+    # chroma upsample/RGB convert, the tile gather, and the standard-pass
+    # letterbox (pixels live in [0,255]/[0,1] where bf16 rounding is <= the
+    # +-0.5 LSB a uint8 decode applies anyway); fidelity paths keep f32 by
+    # constructing the model with dtype="float32"
+    canvas_dtype = (
+        jnp.bfloat16
+        if str(getattr(detection_model, "dtype", "")) == "bfloat16"
+        else jnp.float32
+    )
+
     def decode_canvas(image):
         if input_format == "yuv420":
             # low-bandwidth ingest: planar (Y, UV) uint8 at 1.5 bytes/pixel;
@@ -186,7 +198,7 @@ def _get_fused_pipeline(
             from facedet_tpu.ops.color import yuv420_to_rgb_f32
 
             y, uv = image
-            imgf = yuv420_to_rgb_f32(y, uv)
+            imgf = yuv420_to_rgb_f32(y, uv, out_dtype=canvas_dtype)
         elif input_format == "dct420":
             # entropy-domain ingest (ops/jpeg_dct.py): quantized DCT
             # coefficients upload ~2x faster through the compressing link
@@ -202,8 +214,10 @@ def _get_fused_pipeline(
             y_dc, y_ac, uv_dc, uv_ac, qy, qc = image
             y_ac = jnp.moveaxis(y_ac, 0, -1)
             uv_ac = jnp.transpose(uv_ac, (2, 3, 0, 1))
-            y, uv = decode_dct420_to_yuv_f32(y_dc, y_ac, uv_dc, uv_ac, qy, qc)
-            imgf = yuv420_to_rgb_f32(y, uv)
+            y, uv = decode_dct420_to_yuv_f32(
+                y_dc, y_ac, uv_dc, uv_ac, qy, qc, out_dtype=canvas_dtype
+            )
+            imgf = yuv420_to_rgb_f32(y, uv, out_dtype=canvas_dtype)
         elif input_format == "dct420s":
             # sparse AC wire (ops/jpeg_dct.py): the dense AC planes are
             # mostly zeros the link compressor only partly recovers;
@@ -228,13 +242,15 @@ def _get_fused_pipeline(
             uv_ac = jnp.transpose(
                 flat[ny:].reshape(2, 64, cb_h, cb_w), (2, 3, 0, 1)
             )
-            y, uv = decode_dct420_to_yuv_f32(y_dc, y_ac, uv_dc, uv_ac, qy, qc)
-            imgf = yuv420_to_rgb_f32(y, uv)
+            y, uv = decode_dct420_to_yuv_f32(
+                y_dc, y_ac, uv_dc, uv_ac, qy, qc, out_dtype=canvas_dtype
+            )
+            imgf = yuv420_to_rgb_f32(y, uv, out_dtype=canvas_dtype)
         else:
             imgf = (
-                image.astype(jnp.float32) / 255.0
+                image.astype(canvas_dtype) / 255.0
                 if image.dtype == jnp.uint8
-                else image.astype(jnp.float32)
+                else image.astype(canvas_dtype)
             )
         return imgf  # already padded to (bucket_h, bucket_w) on host
 

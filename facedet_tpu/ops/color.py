@@ -96,17 +96,22 @@ def _upsample_chroma(uv: jax.Array, h: int, w: int) -> jax.Array:
     return jax.image.resize(uv, (h, w, uv.shape[-1]), method="linear")
 
 
-def yuv420_to_rgb_f32(y: jax.Array, uv: jax.Array) -> jax.Array:
-    """Device-side: (Y [H,W] uint8, UV [H/2,W/2,2] uint8) -> RGB float32
+def yuv420_to_rgb_f32(y: jax.Array, uv: jax.Array, out_dtype=jnp.float32) -> jax.Array:
+    """Device-side: (Y [H,W] uint8/float, UV [H/2,W/2,2] uint8/float) -> RGB
     [H,W,3] in [0,1] — the fused pipeline's normalized-input format, so the
     conversion fuses into the first detector conv's input pipeline under XLA.
-    """
+
+    ``out_dtype=bfloat16`` computes the upsample/convert in bfloat16 (halving
+    the HBM traffic of the canvas stages for bf16 serving); on [0, 255]-scale
+    inputs that costs <= +-0.5 pixel — the rounding a uint8 decode applies
+    anyway. float32 (default) keeps exact f32 math for fidelity paths."""
     h, w = y.shape[0], y.shape[1]
-    yf = y.astype(jnp.float32)
-    uvf = _upsample_chroma(uv.astype(jnp.float32), h, w) - 128.0
+    dt = jnp.dtype(out_dtype)
+    yf = y.astype(dt)
+    uvf = _upsample_chroma(uv.astype(dt), h, w) - jnp.asarray(128.0, dt)
     ycc = jnp.stack([yf, uvf[..., 0], uvf[..., 1]], axis=-1)
-    rgb = ycc @ jnp.asarray(_INV).T
-    return jnp.clip(rgb / 255.0, 0.0, 1.0)
+    rgb = ycc @ jnp.asarray(_INV).T.astype(dt)
+    return jnp.clip(rgb / 255.0, 0.0, 1.0).astype(dt)
 
 
 def yuv420_to_rgb_np(y: np.ndarray, uv: np.ndarray) -> np.ndarray:

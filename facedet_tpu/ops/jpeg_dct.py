@@ -167,27 +167,35 @@ def encode_dct420(image, quality: int = 90, pad_to: tuple[int, int] | None = Non
     )
 
 
-def _idct_plane(dc, ac, q):
-    """Device: (dc [Hb,Wb] int, ac [Hb,Wb,64] int, q [64]) -> [H, W] f32
-    (level-shifted back, unclipped). One [N,64]@[64,64] matmul on the MXU,
-    dequantisation folded into the basis rows."""
+def _idct_plane(dc, ac, q, out_dtype=jnp.float32):
+    """Device: (dc [Hb,Wb] int, ac [Hb,Wb,64] int, q [64]) -> [H, W] float
+    (level-shifted back, clipped to [0, 255]). One [N,64]@[64,64] matmul on
+    the MXU, dequantisation folded into the basis rows.
+
+    The matmul always runs in float32; ``out_dtype`` only controls the stored
+    plane. bfloat16 halves the bytes moved by the block->row relayout (the
+    transpose, not the matmul, dominates this op's device time) and is
+    harmless fidelity-wise: pixel values live in [0, 255] where bf16 spacing
+    is <= 1.0 — the same +-0.5 rounding every JPEG decoder applies when it
+    stores uint8."""
     coef = ac.astype(jnp.float32)
     coef = coef.at[..., 0].set(dc.astype(jnp.float32))
     hb, wb = coef.shape[0], coef.shape[1]
     basis = q[:, None] * jnp.asarray(_IDCT64)
-    blocks = (coef.reshape(hb * wb, 64) @ basis).reshape(hb, wb, 8, 8)
-    return blocks.transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8) + 128.0
+    blocks = coef.reshape(hb * wb, 64) @ basis + 128.0
+    blocks = jnp.clip(blocks, 0.0, 255.0).astype(out_dtype)
+    return blocks.reshape(hb, wb, 8, 8).transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
 
 
-def decode_dct420_to_yuv_f32(y_dc, y_ac, uv_dc, uv_ac, qy, qc):
-    """Device-side: quantized planes -> (Y [H,W] f32, UV [H/2,W/2,2] f32),
-    the float inputs of ops/color.py's YUV->RGB stage. Jit/vmap-friendly."""
-    y = _idct_plane(y_dc, y_ac, qy)
-    u = _idct_plane(uv_dc[..., 0], uv_ac[..., 0, :], qc)
-    v = _idct_plane(uv_dc[..., 1], uv_ac[..., 1, :], qc)
-    y = jnp.clip(y, 0.0, 255.0)
-    uv = jnp.clip(jnp.stack([u, v], axis=-1), 0.0, 255.0)
-    return y, uv
+def decode_dct420_to_yuv_f32(y_dc, y_ac, uv_dc, uv_ac, qy, qc,
+                             out_dtype=jnp.float32):
+    """Device-side: quantized planes -> (Y [H,W], UV [H/2,W/2,2]) in
+    ``out_dtype`` (float32 default; bfloat16 for the serving canvas), the
+    float inputs of ops/color.py's YUV->RGB stage. Jit/vmap-friendly."""
+    y = _idct_plane(y_dc, y_ac, qy, out_dtype)
+    u = _idct_plane(uv_dc[..., 0], uv_ac[..., 0, :], qc, out_dtype)
+    v = _idct_plane(uv_dc[..., 1], uv_ac[..., 1, :], qc, out_dtype)
+    return y, jnp.stack([u, v], axis=-1)
 
 
 def decode_dct420_np(img: DctImage) -> tuple[np.ndarray, np.ndarray]:
