@@ -379,7 +379,15 @@ def unpack_sparse_ac(deltas, vals, n: int):
     parking tail and zero padding) land in a dump slot and are dropped."""
     pos = jnp.cumsum(deltas.astype(jnp.int32)) - 1
     pos = jnp.minimum(pos, n)  # n = dump slot
-    return jnp.zeros(n + 1, jnp.int8).at[pos].set(vals, mode="drop")[:n]
+    # positions are strictly increasing over the real region (pack emits
+    # delta >= 1 per entry; only the parking tail collides, at the dump slot
+    # that [:n] slices away) — the sorted/unique hints let XLA lower this as
+    # a vectorized merge instead of a per-element scatter loop
+    return (
+        jnp.zeros(n + 1, jnp.int8)
+        .at[pos]
+        .set(vals, mode="drop", indices_are_sorted=True, unique_indices=True)[:n]
+    )
 
 
 def unpack_sparse_ac_np(deltas, vals, n: int) -> np.ndarray:

@@ -7,10 +7,11 @@ cost is the difference between consecutive rows. CLAUDE.md "Performance
 rules": this is the sanctioned way to find device-side costs the K-difference
 cannot attribute (scalarized ops, sort/top-k, NMS fixpoint rounds).
 
-Run on the real TPU:  python -m facedet_tpu.tools.profile_stages  (or from
-repo root: python tools/profile_stages.py). Stages mirror
-engine/predict.py::_get_fused_pipeline core() exactly — if core() changes,
-update the STAGES here.
+Run on the real TPU:  python -m facedet_tpu.tools.profile_stages
+Stages mirror engine/predict.py::_get_fused_pipeline batch_core exactly —
+the chunked flat-forward structure (lax.map over image chunks, detector over
+the flattened [C*T] tile batch, bf16 canvas for bf16 models). If batch_core
+changes, update the STAGES here.
 """
 from __future__ import annotations
 
@@ -21,18 +22,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_stage_fn(model, key, stage: str):
-    """Truncated copy of predict._get_fused_pipeline core(), scalar-reduced.
+def build_stage_fn(model, key, stage: str, n_imgs: int):
+    """Truncated copy of predict._get_fused_pipeline batch_core, scalar-reduced.
 
-    Returns f(variables, image_tuple, offsets, tile_valid, true_hw) -> scalar.
+    Returns f(variables, wire, offsets, tile_valid, true_hw) -> scalar.
     """
-    from facedet_tpu.engine.detector import DetectionModel  # noqa: F401
     from facedet_tpu.models.yolo_decode import (
         decode_predictions,
         decode_to_detections,
     )
     from facedet_tpu.ops.color import yuv420_to_rgb_f32
-    from facedet_tpu.ops.jpeg_dct import decode_dct420_to_yuv_f32, unpack_sparse_ac
+    from facedet_tpu.ops.jpeg_dct import (
+        decode_dct420_to_yuv_f32,
+        unpack_sparse_ac,
+        wire_unpack_dct420s,
+    )
     from facedet_tpu.ops.nms import merge_detections
     from facedet_tpu.ops.tiler import gather_tiles
     from facedet_tpu.core.detections import Detections
@@ -45,14 +49,22 @@ def build_stage_fn(model, key, stage: str):
     (
         bucket_h, bucket_w, slice_h, slice_w, standard, conf, mode, metric,
         threshold, agnostic, capacity, img_size, _use_pallas, input_format,
-        _fetch_capacity, _forward_variant,
+        fetch_capacity, _forward_variant,
     ) = key
     assert input_format == "dct420s"
+    canvas_dtype = (
+        jnp.bfloat16 if str(getattr(model, "dtype", "")) == "bfloat16"
+        else jnp.float32
+    )
 
     def tree_sum(t):
-        return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(t))
+        return sum(
+            jnp.sum(x.astype(jnp.float32))
+            for x in jax.tree.leaves(t)
+            if x is not None
+        )
 
-    def core(variables, image, offsets, tile_valid, true_hw):
+    def decode_canvas(image):
         y_dc, uv_dc, qy, qc, deltas, vals = image
         yb_h, yb_w = bucket_h // 8, bucket_w // 8
         cb_h, cb_w = bucket_h // 16, bucket_w // 16
@@ -60,73 +72,112 @@ def build_stage_fn(model, key, stage: str):
         nc = 2 * 64 * cb_h * cb_w
         flat = unpack_sparse_ac(deltas, vals, ny + nc)
         if stage == "unpack":
-            return tree_sum(flat)
+            return None, tree_sum(flat)
         y_ac = jnp.moveaxis(flat[:ny].reshape(64, yb_h, yb_w), 0, -1)
         uv_ac = jnp.transpose(flat[ny:].reshape(2, 64, cb_h, cb_w), (2, 3, 0, 1))
-        y, uv = decode_dct420_to_yuv_f32(y_dc, y_ac, uv_dc, uv_ac, qy, qc)
+        y, uv = decode_dct420_to_yuv_f32(
+            y_dc, y_ac, uv_dc, uv_ac, qy, qc, out_dtype=canvas_dtype
+        )
         if stage == "idct":
-            return tree_sum((y, uv))
-        imgf = yuv420_to_rgb_f32(y, uv)
+            return None, tree_sum((y, uv))
+        imgf = yuv420_to_rgb_f32(y, uv, out_dtype=canvas_dtype)
         if stage == "rgb":
-            return tree_sum(imgf)
-        padded = imgf
-        tiles = gather_tiles(padded, offsets, slice_h, slice_w)
-        if stage == "tiles":
-            return tree_sum(tiles)
+            return None, tree_sum(imgf)
+        return imgf, None
 
-        # -- detector forward split: raw conv outs / +decode / +topk / +tile-NMS
+    def forward_tiles(variables, tiles):
         # mirror tile_forward's s2d gate so "convs" measures the serving path
         if getattr(model, "s2d_early", False):
             from facedet_tpu.models.yolo_s2d import s2d_early_forward
 
             early = s2d_early_forward(variables, tiles, model.cfg)
-            outs = model.model.apply(variables, early, train=False, from_early=True)
-        else:
-            outs = model.model.apply(variables, tiles, train=False)
-        if stage == "convs":
-            return tree_sum(outs)
-        preds = decode_predictions(outs)
-        if stage == "head_decode":
-            return tree_sum(preds)
-        det = decode_to_detections(
-            preds, conf_threshold=conf,
-            max_detections=model.max_detections_per_tile,
-            nms_iou=0.7, class_agnostic=True,
-            with_nms=(stage not in ("topk",)),
-        )
-        if stage in ("topk", "tile_nms"):
-            return tree_sum(det)
+            return model.model.apply(variables, early, train=False, from_early=True)
+        return model.model.apply(variables, tiles, train=False)
 
-        flat_det = _shift_and_flatten(det, offsets, tile_valid)
-        parts = [flat_det]
-        if standard:
-            scale = jnp.minimum(img_size / true_hw[0], img_size / true_hw[1])
-            full_tile = jax.image.scale_and_translate(
-                padded, (img_size, img_size, padded.shape[2]), (0, 1),
-                jnp.stack([scale, scale]), jnp.zeros(2), method="linear",
-            )
-            full_det = model.tile_forward(variables, full_tile[None], conf)
-            full_det = jax.tree.map(lambda x: x[0], full_det)
-            kpts = full_det.kpts.at[..., :2].divide(scale)
-            full_det = Detections(
-                boxes=full_det.boxes / scale, scores=full_det.scores,
-                classes=full_det.classes, kpts=kpts, valid=full_det.valid,
-            )
-            parts.append(full_det)
-        combined = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
-        if stage == "standard":
-            return tree_sum(combined)
-        combined = _truncate_by_score(combined, capacity)
-        if stage == "truncate":
-            return tree_sum(combined)
-        merged = merge_detections(
-            combined, mode=mode, match_metric=metric,
-            match_threshold=threshold, class_agnostic=agnostic,
-        )
-        clipped = _clip_detections(merged, true_hw[0], true_hw[1])
-        return tree_sum(clipped)
+    def batch_fn(variables, wire, offsets, tile_valid, true_hw):
+        image = wire_unpack_dct420s(wire, n_imgs, bucket_h, bucket_w)
+        b = true_hw.shape[0]
+        t = offsets.shape[0]
+        c = max(d for d in range(1, b + 1) if b % d == 0 and (d == 1 or d * t <= 96))
 
-    return core
+        def chunk_fn(args):
+            img_c, hw_c = args
+            padded, early = jax.vmap(decode_canvas)(img_c)
+            if early is not None:
+                return early.sum()
+            tiles = jax.vmap(
+                lambda p: gather_tiles(p, offsets, slice_h, slice_w)
+            )(padded)
+            if stage == "tiles":
+                return tree_sum(tiles)
+            flat_tiles = tiles.reshape((c * t,) + tiles.shape[2:])
+            outs = forward_tiles(variables, flat_tiles)
+            if stage == "convs":
+                return tree_sum(outs)
+            preds = decode_predictions(outs)
+            if stage == "head_decode":
+                return tree_sum(preds)
+            det = decode_to_detections(
+                preds, conf_threshold=conf,
+                max_detections=model.max_detections_per_tile,
+                nms_iou=0.7, class_agnostic=True,
+                with_nms=(stage not in ("topk",)),
+            )
+            if stage in ("topk", "tile_nms"):
+                return tree_sum(det)
+            det = jax.tree.map(lambda x: x.reshape((c, t) + x.shape[1:]), det)
+
+            full_det = None
+            if standard:
+                def letterbox_full(padded_i, hw):
+                    scale = jnp.minimum(img_size / hw[0], img_size / hw[1])
+                    full_tile = jax.image.scale_and_translate(
+                        padded_i, (img_size, img_size, padded_i.shape[2]), (0, 1),
+                        jnp.stack([scale, scale]), jnp.zeros(2), method="linear",
+                    )
+                    return full_tile, scale
+
+                full_tiles, scales = jax.vmap(letterbox_full)(padded, hw_c)
+                full_det = model.tile_forward(variables, full_tiles, conf)
+
+                def rescale(fd, s):
+                    kpts = fd.kpts.at[..., :2].divide(s)
+                    return Detections(
+                        boxes=fd.boxes / s, scores=fd.scores,
+                        classes=fd.classes, kpts=kpts, valid=fd.valid,
+                    )
+
+                full_det = jax.vmap(rescale)(full_det, scales)
+
+            def tail(d, f, hw):
+                flat_d = _shift_and_flatten(d, offsets, tile_valid)
+                parts = [flat_d] if f is None else [flat_d, f]
+                combined = jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *parts
+                )
+                if stage == "standard":
+                    return tree_sum(combined)
+                combined = _truncate_by_score(combined, capacity)
+                if stage == "truncate":
+                    return tree_sum(combined)
+                merged = merge_detections(
+                    combined, mode=mode, match_metric=metric,
+                    match_threshold=threshold, class_agnostic=agnostic,
+                )
+                clipped = _clip_detections(merged, hw[0], hw[1])
+                if fetch_capacity and fetch_capacity < capacity:
+                    clipped = _truncate_by_score(clipped, fetch_capacity)
+                return tree_sum(clipped)
+
+            if full_det is None:
+                return jax.vmap(lambda d, hw: tail(d, None, hw))(det, hw_c).sum()
+            return jax.vmap(tail)(det, full_det, hw_c).sum()
+
+        img_r = jax.tree.map(lambda x: x.reshape((b // c, c) + x.shape[1:]), image)
+        out = jax.lax.map(chunk_fn, (img_r, true_hw.reshape(b // c, c, 2)))
+        return out.sum()
+
+    return batch_fn
 
 
 STAGES = [
@@ -162,37 +213,29 @@ def main(bsz: int = 8, k: int = 9, rounds: int = 5):
         0.5, True, 1024, False, "dct420s",
     )
 
-    from facedet_tpu.ops.jpeg_dct import wire_unpack_dct420s_np
-
     wire = P._stage_batch_host([planes] * bsz, "dct420s", bucket_h, bucket_w)
-    staged = wire_unpack_dct420s_np(wire, bsz, bucket_h, bucket_w)
-    batch_dev = tuple(jax.device_put(jnp.asarray(p)) for p in staged)
+    wire_dev = jax.device_put(jnp.asarray(wire))
     variables = P._resident_variables(model)
     offs = jax.device_put(jnp.asarray(offsets))
     tv = jax.device_put(jnp.asarray(tile_valid))
     true_hw = jax.device_put(jnp.tile(jnp.asarray([[h, w]], jnp.float32), (bsz, 1)))
-    jax.block_until_ready(batch_dev)
+    jax.block_until_ready(wire_dev)
 
     results = {}
     for stage in STAGES:
-        core = build_stage_fn(model, key, stage)
-        batched = jax.jit(jax.vmap(core, in_axes=(None, 0, None, None, 0)))
+        batched = jax.jit(build_stage_fn(model, key, stage, bsz))
 
         @jax.jit
-        def repeat(n, variables, batch, offs, tv, true_hw, batched=batched):
+        def repeat(n, variables, wire, offs, tv, true_hw, batched=batched):
             def body(i, acc):
-                b = (
-                    batch[0].at[(0,) * batch[0].ndim].set(
-                        (i % 101).astype(batch[0].dtype)
-                    ),
-                ) + batch[1:]
-                return acc + batched(variables, b, offs, tv, true_hw).sum()
+                w_ = wire.at[0].set((i % 101).astype(wire.dtype))
+                return acc + batched(variables, w_, offs, tv, true_hw)
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
         def timed(n):
             t0 = time.perf_counter()
-            float(repeat(n, variables, batch_dev, offs, tv, true_hw))
+            float(repeat(n, variables, wire_dev, offs, tv, true_hw))
             return time.perf_counter() - t0
 
         t0 = time.perf_counter()
