@@ -403,8 +403,10 @@ def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int 
 
     # throughput: double-buffered batched stream (bsz images/dispatch, raw
     # detections, 2 batches in flight) — the serving configuration; uploads
-    # of the next batch overlap compute/fetch of the current one
-    n = max(num_images, 2 * bsz)
+    # of the next batch overlap compute/fetch of the current one. At least
+    # 5 batches per run: a 2-batch stream is all ramp (first batch has
+    # nothing to overlap with), under-reporting the pipelined steady state.
+    n = max(num_images, 5 * bsz)
     for _ in predict_stream_batched([planes] * (2 * bsz), model, batch_size=bsz,
                                     window=2, raw=True, **cfg):
         pass  # compile + warm

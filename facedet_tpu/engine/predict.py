@@ -780,10 +780,8 @@ def _resident_grid_consts(offsets, tile_valid, n, h, w, device=None):
     return entry
 
 
-def _dispatch_sliced_batch(imgs: list, detection_model: DetectionModel, opts: dict):
-    """Asynchronously dispatch the vmapped fused pipeline over a list of
-    prepared SAME-SIZE images. Returns the un-fetched device Detections pytree
-    (batch axis leading) — callers overlap further dispatches before blocking."""
+def _plan_sliced_batch(imgs: list, detection_model: DetectionModel, opts: dict):
+    """Host-side (cheap) batch plan: grid, buckets, pipeline key."""
     h, w = _image_hw(imgs[0])
     if any(_image_hw(im) != (h, w) for im in imgs):
         raise ValueError("batched sliced prediction requires same-size images")
@@ -807,16 +805,24 @@ def _dispatch_sliced_batch(imgs: list, detection_model: DetectionModel, opts: di
         False, opts.get("input_format", "rgb"),
         fetch_capacity=opts.get("fetch_capacity"),
     )
-    fused = _get_fused_pipeline(detection_model, key)
-    staged = _stage_batch_host(
-        imgs, opts.get("input_format", "rgb"), bucket_h, bucket_w
-    )
+    return {
+        "h": h, "w": w, "n": len(imgs),
+        "offsets": offsets, "tile_valid": tile_valid,
+        "bucket_h": bucket_h, "bucket_w": bucket_w,
+        "key": key, "input_format": opts.get("input_format", "rgb"),
+    }
+
+
+def _dispatch_staged_batch(plan: dict, staged, detection_model: DetectionModel):
+    """Upload a host-staged batch and dispatch the fused batch pipeline.
+    Returns the un-fetched device Detections pytree (batch axis leading)."""
+    fused = _get_fused_pipeline(detection_model, plan["key"])
     if isinstance(staged, tuple):
         batch_dev = tuple(jnp.asarray(a) for a in staged)
     else:
         batch_dev = jnp.asarray(staged)
     offsets_dev, tile_valid_dev, true_hw = _resident_grid_consts(
-        offsets, tile_valid, len(imgs), h, w
+        plan["offsets"], plan["tile_valid"], plan["n"], plan["h"], plan["w"]
     )
     return fused["batch"](
         _resident_variables(detection_model),
@@ -825,6 +831,17 @@ def _dispatch_sliced_batch(imgs: list, detection_model: DetectionModel, opts: di
         tile_valid_dev,
         true_hw,
     )
+
+
+def _dispatch_sliced_batch(imgs: list, detection_model: DetectionModel, opts: dict):
+    """Plan + stage + upload + dispatch in one call (the non-streamed batch
+    path). The streamed path runs the three phases on separate threads —
+    see predict_stream_batched."""
+    plan = _plan_sliced_batch(imgs, detection_model, opts)
+    staged = _stage_batch_host(
+        imgs, plan["input_format"], plan["bucket_h"], plan["bucket_w"]
+    )
+    return _dispatch_staged_batch(plan, staged, detection_model)
 
 
 def get_sliced_prediction_batch(
@@ -910,20 +927,26 @@ def predict_stream_batched(
 
     inflight: deque = deque()
     pending: list = []
-    # one staging worker: batch k+1's host packing + upload + dispatch run
-    # while the main thread blocks fetching batch k's results — the host
-    # stack (~0.9 s per 64-image sparse batch) leaves the critical path.
-    # A single worker preserves dispatch order; jax dispatch/fetch from
-    # different threads is supported.
-    pool = ThreadPoolExecutor(max_workers=1)
+    # two-stage worker pipeline: STAGE (host pack, CPU-bound) and
+    # UPLOAD+DISPATCH (link-bound) run on separate single-thread executors,
+    # so batch k+2's host packing overlaps batch k+1's upload while the main
+    # thread blocks fetching batch k — the worker leg costs
+    # max(stage, upload) instead of stage + upload (~0.26 s each per
+    # 64-image sparse batch). Single threads per phase preserve dispatch
+    # order; jax upload/dispatch/fetch from different threads is supported.
+    stage_pool = ThreadPoolExecutor(max_workers=1)
+    dispatch_pool = ThreadPoolExecutor(max_workers=1)
 
     def flush(pending):
-        inflight.append(
-            (
-                pending,
-                pool.submit(_dispatch_sliced_batch, pending, detection_model, opts),
-            )
+        plan = _plan_sliced_batch(pending, detection_model, opts)
+        staged_fut = stage_pool.submit(
+            _stage_batch_host,
+            pending, plan["input_format"], plan["bucket_h"], plan["bucket_w"],
         )
+        fut = dispatch_pool.submit(
+            lambda: _dispatch_staged_batch(plan, staged_fut.result(), detection_model)
+        )
+        inflight.append((pending, fut))
 
     try:
         for image in images:
@@ -941,7 +964,8 @@ def predict_stream_batched(
         while inflight:
             yield finalize(*inflight.popleft())
     finally:
-        pool.shutdown(wait=False)
+        stage_pool.shutdown(wait=False)
+        dispatch_pool.shutdown(wait=False)
 
 
 def _stream_opts(sliced_kwargs: dict) -> dict:
