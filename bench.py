@@ -374,6 +374,31 @@ def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int 
         p50 = min(p50, sorted(lat)[len(lat) // 2])
         _PROGRESS["p50"] = p50
 
+    # throughput FIRST: double-buffered batched stream (bsz images/dispatch,
+    # raw detections, 2 batches in flight) — the serving configuration;
+    # uploads of the next batch overlap compute/fetch of the current one. At
+    # least 5 batches per run: a 2-batch stream is all ramp (first batch has
+    # nothing to overlap with), under-reporting the pipelined steady state.
+    # The headline number is recorded BEFORE the accounting extras so a
+    # watchdog firing during the (several-minute) extras still emits a real
+    # throughput sample instead of the p50 lower bound.
+    n = max(num_images, 5 * bsz)
+    for _ in predict_stream_batched([planes] * (2 * bsz), model, batch_size=bsz,
+                                    window=3, raw=True, **cfg):
+        pass  # compile + warm
+    ips = 0.0
+    for _ in range(3):
+        t_start = time.perf_counter()
+        done = 0
+        for _batch in predict_stream_batched(
+            [planes] * n, model, batch_size=bsz, window=3, raw=True, **cfg
+        ):
+            # count actual images: the final batch can be partial when n is
+            # not a multiple of bsz (raw Detections lead with the batch dim)
+            done += int(_batch.scores.shape[0])
+        ips = max(ips, done / (time.perf_counter() - t_start))
+        _PROGRESS["ips"] = ips
+
     # device-only compute + FLOPs accounting (no host link in the timing)
     dev_s, dev_spread, flops, bytes_h2d = _device_accounting(model, img, cfg, min(bsz, 8))
     _PROGRESS["extras"] = {
@@ -401,27 +426,6 @@ def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int 
     except Exception:
         pass
 
-    # throughput: double-buffered batched stream (bsz images/dispatch, raw
-    # detections, 2 batches in flight) — the serving configuration; uploads
-    # of the next batch overlap compute/fetch of the current one. At least
-    # 5 batches per run: a 2-batch stream is all ramp (first batch has
-    # nothing to overlap with), under-reporting the pipelined steady state.
-    n = max(num_images, 5 * bsz)
-    for _ in predict_stream_batched([planes] * (2 * bsz), model, batch_size=bsz,
-                                    window=2, raw=True, **cfg):
-        pass  # compile + warm
-    ips = 0.0
-    for _ in range(3):
-        t_start = time.perf_counter()
-        done = 0
-        for _batch in predict_stream_batched(
-            [planes] * n, model, batch_size=bsz, window=2, raw=True, **cfg
-        ):
-            # count actual images: the final batch can be partial when n is
-            # not a multiple of bsz (raw Detections lead with the batch dim)
-            done += int(_batch.scores.shape[0])
-        ips = max(ips, done / (time.perf_counter() - t_start))
-        _PROGRESS["ips"] = ips
     return ips, p50, _PROGRESS["extras"]
 
 

@@ -884,7 +884,7 @@ def predict_stream_batched(
     images,
     detection_model: DetectionModel,
     batch_size: int = 8,
-    window: int = 2,
+    window: int = 3,
     raw: bool = False,
     **sliced_kwargs,
 ):
