@@ -18,8 +18,9 @@ transfer/compute accounting:
     isn't runnable here, so the denominator is the SAME pipeline executed with
     JAX on this host's CPU (``python bench.py --cpu``; constant below).
 
-Throughput uses the double-buffered batched stream (predict_stream_batched):
-batch k+1's upload+compute overlap batch k's fetch, hiding link latency.
+Throughput uses the windowed batched stream (predict_stream_batched,
+window=3): the next batches' staging+upload+compute overlap the current
+batch's fetch, hiding link latency.
 """
 from __future__ import annotations
 
@@ -374,8 +375,8 @@ def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int 
         p50 = min(p50, sorted(lat)[len(lat) // 2])
         _PROGRESS["p50"] = p50
 
-    # throughput FIRST: double-buffered batched stream (bsz images/dispatch,
-    # raw detections, 2 batches in flight) — the serving configuration;
+    # throughput FIRST: windowed batched stream (bsz images/dispatch,
+    # raw detections, window=3 batches in flight) — the serving configuration;
     # uploads of the next batch overlap compute/fetch of the current one. At
     # least 5 batches per run: a 2-batch stream is all ramp (first batch has
     # nothing to overlap with), under-reporting the pipelined steady state.

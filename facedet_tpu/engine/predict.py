@@ -888,8 +888,9 @@ def predict_stream_batched(
     raw: bool = False,
     **sliced_kwargs,
 ):
-    """Double-buffered batched sliced prediction over an image stream — the
-    serving-throughput configuration.
+    """Windowed/pipelined batched sliced prediction over an image stream
+    (default ``window=3`` dispatches in flight) — the serving-throughput
+    configuration.
 
     Consecutive same-size images are grouped into ``batch_size`` batches; up
     to ``window`` batched dispatches stay in flight, so batch k+1's

@@ -20,7 +20,12 @@ import numpy as np
 
 from facedet_tpu.eval.subcategory import CATEGORIES, DIFFICULTY_MAPPING
 
-__all__ = ["calculate_iou", "average_precision_11pt", "DualWiderFaceEvaluator"]
+__all__ = [
+    "calculate_iou",
+    "iou_matrix_xywh",
+    "average_precision_11pt",
+    "DualWiderFaceEvaluator",
+]
 
 
 def calculate_iou(box1, box2) -> float:
@@ -34,6 +39,28 @@ def calculate_iou(box1, box2) -> float:
     inter = (ix2 - ix1) * (iy2 - iy1)
     union = w1 * h1 + w2 * h2 - inter
     return inter / union if union > 0 else 0.0
+
+
+def iou_matrix_xywh(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[P, G] IoU matrix between xywh boxes — the vectorised form of
+    :func:`calculate_iou` (same math, no +1 inclusive-pixel convention; that
+    convention belongs to the official evaluator's ``bbox_overlaps``)."""
+    a = np.asarray(a, np.float64).reshape(-1, 4)
+    b = np.asarray(b, np.float64).reshape(-1, 4)
+    if a.shape[0] == 0 or b.shape[0] == 0:
+        return np.zeros((a.shape[0], b.shape[0]))
+    ix1 = np.maximum(a[:, None, 0], b[None, :, 0])
+    iy1 = np.maximum(a[:, None, 1], b[None, :, 1])
+    ix2 = np.minimum(a[:, None, 0] + a[:, None, 2], b[None, :, 0] + b[None, :, 2])
+    iy2 = np.minimum(a[:, None, 1] + a[:, None, 3], b[None, :, 1] + b[None, :, 3])
+    # calculate_iou returns 0 only for a STRICT gap (ix2 < ix1); a degenerate
+    # zero-area touch yields inter == 0 either way, so clip matches exactly
+    inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+    inter[(ix2 < ix1) | (iy2 < iy1)] = 0.0
+    union = (a[:, 2] * a[:, 3])[:, None] + (b[:, 2] * b[:, 3])[None, :] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(union > 0, inter / np.maximum(union, 1e-300), 0.0)
+    return out
 
 
 def average_precision_11pt(detections: list[dict], total_gt: int) -> float:
@@ -106,24 +133,33 @@ class DualWiderFaceEvaluator:
             full_path = os.path.join(self.images_path, img_path)
             pred_boxes = self.run_inference(full_path)
 
+            # vectorised matcher: one [P, G] and one [P, I] IoU matrix per
+            # image replace the reference's per-pair Python loops
+            # (eval/eval_dual.py:376-409) — same greedy semantics: each pred
+            # claims its single best-IoU GT (argmax over ALL GT, matched or
+            # not); a pred whose best GT is taken is an FP, never re-assigned.
             gt_matched = [False] * len(gt_faces)
             order = np.argsort(-pred_boxes[:, 4], kind="stable")
+            gt_arr = np.asarray([f["bbox"] for f in gt_faces], np.float64)
+            ign_arr = np.asarray([f["bbox"] for f in ignored_faces], np.float64)
+            iou_gt = iou_matrix_xywh(pred_boxes[:, :4], gt_arr)
+            hits_ignored = (
+                iou_matrix_xywh(pred_boxes[:, :4], ign_arr) >= self.iou_threshold
+            ).any(axis=1)
+            best_idx_all = iou_gt.argmax(axis=1) if gt_faces else None
             for pi in order:
-                bbox, conf = pred_boxes[pi, :4], float(pred_boxes[pi, 4])
-                best_iou, best_idx = 0.0, -1
-                for gi, gt in enumerate(gt_faces):
-                    iou = calculate_iou(bbox, gt["bbox"])
-                    if iou > best_iou:
-                        best_iou, best_idx = iou, gi
-                if best_iou >= self.iou_threshold and best_idx != -1 and not gt_matched[best_idx]:
+                conf = float(pred_boxes[pi, 4])
+                if gt_faces:
+                    best_idx = int(best_idx_all[pi])
+                    best_iou = float(iou_gt[pi, best_idx])
+                else:
+                    best_iou, best_idx = 0.0, -1
+                if best_iou >= self.iou_threshold and best_iou > 0.0 and not gt_matched[best_idx]:
                     gt_matched[best_idx] = True
                     is_tp, is_ignored = True, False
                 else:
                     is_tp = False
-                    is_ignored = any(
-                        calculate_iou(bbox, f["bbox"]) >= self.iou_threshold
-                        for f in ignored_faces
-                    )
+                    is_ignored = bool(hits_ignored[pi])
                 if not is_ignored:
                     all_detections.append({"confidence": conf, "is_tp": is_tp})
             false_negatives += sum(1 for m in gt_matched if not m)

@@ -12,12 +12,28 @@ from __future__ import annotations
 
 import time
 
+import numpy as np
+
+
+def _make_image(h, w):
+    """Natural-statistics synthetic image (multi-scale smooth noise) — same
+    texture as the bench generator, inlined so the probe runs from any cwd."""
+    rng = np.random.default_rng(0)
+    base = np.zeros((h, w), np.float32)
+    for octave in (8, 32, 128):
+        up = np.kron(
+            rng.standard_normal((octave, octave)).astype(np.float32),
+            np.ones((-(-h // octave), -(-w // octave)), np.float32),
+        )[:h, :w]
+        base += up / octave**0.5
+    base = (base - base.min()) / (base.max() - base.min())
+    return np.stack([base * 255, base * 230 + 10, base * 210 + 25], -1).astype(np.uint8)
+
 
 def main(bsz: int = 64, batches: int = 5, image_hw=(1024, 1536)):
     from facedet_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    import bench as B
     from facedet_tpu.engine.detector import YoloV11PoseDetectionModel
     from facedet_tpu.engine.predict import predict_stream_batched
     from facedet_tpu.ops.jpeg_dct import encode_dct420
@@ -26,7 +42,7 @@ def main(bsz: int = 64, batches: int = 5, image_hw=(1024, 1536)):
         scale="s", dtype="bfloat16", confidence_threshold=0.25,
         image_size=640, max_detections_per_tile=300,
     )
-    img = B._make_image(*image_hw)
+    img = _make_image(*image_hw)
     planes = encode_dct420(img, quality=90)
     cfg = dict(
         slice_height=640, slice_width=640,
@@ -43,8 +59,13 @@ def main(bsz: int = 64, batches: int = 5, image_hw=(1024, 1536)):
         pass
 
     n = batches * bsz
+    windows = (2, 3, 4)
     for _round in range(3):
-        for w in (2, 3, 4):
+        # rotate the measurement order per round: the link's health drifts on
+        # a minutes timescale, and a fixed order would systematically favor
+        # whichever window always ran last
+        order = windows[_round % 3:] + windows[:_round % 3]
+        for w in order:
             t0 = time.perf_counter()
             done = 0
             for batch in predict_stream_batched(

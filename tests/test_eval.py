@@ -166,6 +166,74 @@ def test_dual_evaluator_synthetic():
     assert len(ev.prediction_cache) == 1
 
 
+def test_iou_matrix_matches_scalar():
+    from facedet_tpu.eval.dual import iou_matrix_xywh
+
+    rng = np.random.default_rng(3)
+    a = np.concatenate(
+        [rng.uniform(0, 100, (12, 2)), rng.uniform(0.0, 50, (12, 2))], axis=1
+    )
+    b = np.concatenate(
+        [rng.uniform(0, 100, (9, 2)), rng.uniform(0.0, 50, (9, 2))], axis=1
+    )
+    a[0, 2:] = 0.0  # degenerate zero-area box
+    m = iou_matrix_xywh(a, b)
+    for i in range(a.shape[0]):
+        for j in range(b.shape[0]):
+            assert m[i, j] == pytest.approx(calculate_iou(a[i], b[j]), abs=1e-12)
+    assert iou_matrix_xywh(np.zeros((0, 4)), b).shape == (0, 9)
+
+
+def test_dual_matcher_parity_vs_pairwise_oracle():
+    """The vectorised greedy matcher must reproduce the reference's per-pair
+    loop (eval/eval_dual.py:376-409) exactly on random scenes."""
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n_gt, n_ign, n_pred = rng.integers(0, 6), rng.integers(0, 4), rng.integers(1, 12)
+        mk = lambda n: np.concatenate(
+            [rng.uniform(0, 80, (n, 2)), rng.uniform(5, 40, (n, 2))], axis=1
+        )
+        gts, igns, preds = mk(n_gt), mk(n_ign), mk(n_pred)
+        # half the preds sit ON a gt/ignored box to force threshold crossings
+        for i in range(n_pred // 2):
+            pool = [g for g in list(gts) + list(igns)]
+            if pool:
+                preds[i] = pool[int(rng.integers(len(pool)))] + rng.normal(0, 2, 4)
+        conf = rng.uniform(0.05, 0.99, n_pred)
+        sub_gt = {
+            "img.jpg": {
+                "all_faces": [
+                    {"bbox": list(map(float, g)), "category": "large_clear"} for g in gts
+                ]
+                + [{"bbox": list(map(float, g)), "category": "small_clear"} for g in igns],
+            }
+        }
+        pred_rows = np.concatenate([preds, conf[:, None]], axis=1)
+        ev = DualWiderFaceEvaluator(lambda p: pred_rows, sub_gt, output_dir="/tmp/dual_out")
+        got = ev.evaluate_single_set("large_clear", ["large_clear"])
+
+        # per-pair oracle (the reference's exact loop)
+        gt_matched = [False] * n_gt
+        dets = []
+        for pi in np.argsort(-conf, kind="stable"):
+            best_iou, best_idx = 0.0, -1
+            for gi, g in enumerate(gts):
+                iou = calculate_iou(preds[pi], g)
+                if iou > best_iou:
+                    best_iou, best_idx = iou, gi
+            if best_iou >= 0.5 and best_idx != -1 and not gt_matched[best_idx]:
+                gt_matched[best_idx] = True
+                dets.append({"confidence": conf[pi], "is_tp": True})
+            elif not any(calculate_iou(preds[pi], g) >= 0.5 for g in igns):
+                dets.append({"confidence": conf[pi], "is_tp": False})
+        want_ap = average_precision_11pt(dets, n_gt)
+        assert got["ap"] == pytest.approx(want_ap, abs=1e-9), f"trial {trial}"
+        assert got["true_positives"] == sum(
+            1 for d in dets if d["is_tp"] and d["confidence"] >= 0.25
+        )
+        assert got["false_negatives"] == sum(1 for m in gt_matched if not m)
+
+
 def test_ap11_and_iou():
     assert calculate_iou([0, 0, 10, 10], [0, 0, 10, 10]) == pytest.approx(1.0)
     assert calculate_iou([0, 0, 10, 10], [20, 20, 5, 5]) == 0.0
