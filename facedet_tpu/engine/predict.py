@@ -813,19 +813,25 @@ def _plan_sliced_batch(imgs: list, detection_model: DetectionModel, opts: dict):
     }
 
 
-def _dispatch_staged_batch(plan: dict, staged, detection_model: DetectionModel):
+def _dispatch_staged_batch(plan: dict, staged, detection_model: DetectionModel,
+                           device=None):
     """Upload a host-staged batch and dispatch the fused batch pipeline.
-    Returns the un-fetched device Detections pytree (batch axis leading)."""
+    Returns the un-fetched device Detections pytree (batch axis leading).
+    ``device`` pins the upload + dispatch to a specific chip (the stream's
+    round-robin data parallelism); None = the default device."""
     fused = _get_fused_pipeline(detection_model, plan["key"])
-    if isinstance(staged, tuple):
+    if device is not None:
+        batch_dev = jax.device_put(staged, device)
+    elif isinstance(staged, tuple):
         batch_dev = tuple(jnp.asarray(a) for a in staged)
     else:
         batch_dev = jnp.asarray(staged)
     offsets_dev, tile_valid_dev, true_hw = _resident_grid_consts(
-        plan["offsets"], plan["tile_valid"], plan["n"], plan["h"], plan["w"]
+        plan["offsets"], plan["tile_valid"], plan["n"], plan["h"], plan["w"],
+        device=device,
     )
     return fused["batch"](
-        _resident_variables(detection_model),
+        _resident_variables(detection_model, device),
         batch_dev,
         offsets_dev,
         tile_valid_dev,
@@ -886,6 +892,7 @@ def predict_stream_batched(
     batch_size: int = 8,
     window: int = 3,
     raw: bool = False,
+    devices=None,
     **sliced_kwargs,
 ):
     """Windowed/pipelined batched sliced prediction over an image stream
@@ -900,11 +907,25 @@ def predict_stream_batched(
     (docs sahi/predict.py:270-288) cannot. Yields per input order: a list of
     PredictionResult per batch (or the raw batched Detections pytree when
     ``raw=True``).
+
+    ``devices`` turns on multi-chip serving: a list of ``jax.Device`` (or a
+    ``jax.sharding.Mesh``, whose devices are taken) across which consecutive
+    batch dispatches round-robin. The image stream has no cross-image
+    dependency, so stream-level data parallelism needs no collectives — each
+    chip runs the whole fused pipeline on its own batches and N chips serve
+    N batches concurrently (SURVEY §2.4's data-parallel image stream; the
+    collective-based mesh path remains ``get_sliced_prediction(mesh=...)``,
+    which shards one image's TILES when a single image exceeds a chip). The
+    window is widened to cover all chips so none sits idle.
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     opts = _stream_opts(sliced_kwargs)
+    if devices is not None and hasattr(devices, "devices"):  # a Mesh
+        devices = list(devices.devices.flat)
+    if devices:
+        window = max(window, len(devices) + 1)
 
     def finalize(imgs, fut):
         merged = jax.device_get(fut.result())
@@ -938,14 +959,21 @@ def predict_stream_batched(
     stage_pool = ThreadPoolExecutor(max_workers=1)
     dispatch_pool = ThreadPoolExecutor(max_workers=1)
 
+    n_flushed = 0
+
     def flush(pending):
+        nonlocal n_flushed
         plan = _plan_sliced_batch(pending, detection_model, opts)
         staged_fut = stage_pool.submit(
             _stage_batch_host,
             pending, plan["input_format"], plan["bucket_h"], plan["bucket_w"],
         )
+        dev = devices[n_flushed % len(devices)] if devices else None
+        n_flushed += 1
         fut = dispatch_pool.submit(
-            lambda: _dispatch_staged_batch(plan, staged_fut.result(), detection_model)
+            lambda: _dispatch_staged_batch(
+                plan, staged_fut.result(), detection_model, device=dev
+            )
         )
         inflight.append((pending, fut))
 

@@ -1,0 +1,214 @@
+"""Real-ESRGAN restoration training — self-supervised staged on-device loop.
+
+The reference never trains its enhancer: it downloads pretrained
+RealESRGAN_x{2,4}plus weights (utils/enhancer.py:99-156) and reports the
+perceptual gains on face crops (hasil eval niqe.txt:15-16). Zero egress blocks
+those weights here, so the rebuild *trains* the same RRDBNet architecture with
+the Real-ESRGAN paper's own supervision recipe: degrade clean HR patches
+through a blur -> downsample -> noise -> JPEG pipeline (the "practical
+degradation model", first-order) and regress the restoration with L1.
+
+TPU-first: the whole (LR, HR) patch dataset stages into HBM as uint8 and each
+dispatch runs ``steps_per_dispatch`` optimizer steps inside one
+``lax.fori_loop`` — normalisation, paired-flip augmentation, grad, update, and
+the EMA shadow all on device (the same scan-on-device pattern as
+yolo_train.make_staged_train_loop; host-fed stepping pays ~1.2 s/step in link
+RTT over the tunneled chip).
+"""
+from __future__ import annotations
+
+import io
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+__all__ = [
+    "degrade_patch",
+    "degrade_image",
+    "build_sr_dataset",
+    "sr_loss",
+    "make_sr_train_step",
+    "make_sr_staged_loop",
+    "psnr",
+]
+
+
+def degrade_patch(hr_u8: np.ndarray, rng: np.random.Generator, scale: int) -> np.ndarray:
+    """One random draw from the first-order practical degradation model:
+    gaussian blur -> /scale downsample (random kernel) -> gaussian noise ->
+    JPEG re-compression. Input/output uint8 HWC; output is 1/scale the size."""
+    from PIL import Image
+    from scipy.ndimage import gaussian_filter
+
+    img = hr_u8.astype(np.float32)
+    if rng.uniform() < 0.9:
+        sigma = float(rng.uniform(0.2, 2.2))
+        img = gaussian_filter(img, (sigma, sigma, 0.0))
+    h, w = img.shape[:2]
+    pil = Image.fromarray(np.clip(img.round(), 0, 255).astype(np.uint8))
+    interp = [Image.BOX, Image.BILINEAR, Image.BICUBIC][int(rng.integers(3))]
+    img = np.asarray(
+        pil.resize((w // scale, h // scale), interp), np.float32
+    )
+    if rng.uniform() < 0.8:
+        img = img + rng.normal(0.0, float(rng.uniform(1.0, 9.0)), img.shape)
+    if rng.uniform() < 0.85:
+        q = int(rng.integers(30, 91))
+        buf = io.BytesIO()
+        Image.fromarray(np.clip(img.round(), 0, 255).astype(np.uint8)).save(
+            buf, "JPEG", quality=q
+        )
+        img = np.asarray(Image.open(buf), np.float32)
+    return np.clip(img.round(), 0, 255).astype(np.uint8)
+
+
+def degrade_image(hr_u8: np.ndarray, scale: int, seed: int = 0) -> np.ndarray:
+    """Deterministic mid-strength degradation for evaluation: blur sigma 1.2,
+    bicubic /scale, noise sigma 3, JPEG q40 — one fixed point of the training
+    distribution so fidelity numbers are reproducible."""
+    from PIL import Image
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed)
+    img = gaussian_filter(hr_u8.astype(np.float32), (1.2, 1.2, 0.0))
+    h, w = img.shape[:2]
+    pil = Image.fromarray(np.clip(img.round(), 0, 255).astype(np.uint8))
+    img = np.asarray(pil.resize((w // scale, h // scale), Image.BICUBIC), np.float32)
+    img = img + rng.normal(0.0, 3.0, img.shape)
+    buf = io.BytesIO()
+    Image.fromarray(np.clip(img.round(), 0, 255).astype(np.uint8)).save(
+        buf, "JPEG", quality=40
+    )
+    return np.asarray(Image.open(buf).convert("RGB"), np.uint8)
+
+
+def build_sr_dataset(
+    images: list[np.ndarray],
+    n_patches: int,
+    hr_size: int,
+    scale: int,
+    seed: int = 0,
+    face_boxes: Optional[list[np.ndarray]] = None,
+    face_fraction: float = 0.5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sample ``n_patches`` HR crops from ``images`` (uint8 HWC, any sizes)
+    and degrade each independently. When ``face_boxes`` (xyxy per image) is
+    given, ``face_fraction`` of the patches center on a random face — faces
+    are what the serving pipelines enhance (pipeline v1 crops, v2 whole-image
+    before detection), so the patch distribution leans where the model is
+    used. Returns (lr_u8 [N,hr/scale,hr/scale,3], hr_u8 [N,hr,hr,3])."""
+    rng = np.random.default_rng(seed)
+    usable = [
+        i for i, im in enumerate(images)
+        if im.shape[0] >= hr_size and im.shape[1] >= hr_size
+    ]
+    if not usable:
+        raise ValueError(f"no image is >= {hr_size}px on both sides")
+    lr_all = np.empty((n_patches, hr_size // scale, hr_size // scale, 3), np.uint8)
+    hr_all = np.empty((n_patches, hr_size, hr_size, 3), np.uint8)
+    for n in range(n_patches):
+        i = usable[int(rng.integers(len(usable)))]
+        img = images[i]
+        h, w = img.shape[:2]
+        boxes = face_boxes[i] if face_boxes is not None else None
+        if boxes is not None and len(boxes) and rng.uniform() < face_fraction:
+            b = boxes[int(rng.integers(len(boxes)))]
+            cx = int((b[0] + b[2]) / 2 + rng.normal(0, hr_size / 8))
+            cy = int((b[1] + b[3]) / 2 + rng.normal(0, hr_size / 8))
+            y0 = int(np.clip(cy - hr_size // 2, 0, h - hr_size))
+            x0 = int(np.clip(cx - hr_size // 2, 0, w - hr_size))
+        else:
+            y0 = int(rng.integers(0, h - hr_size + 1))
+            x0 = int(rng.integers(0, w - hr_size + 1))
+        hr = img[y0 : y0 + hr_size, x0 : x0 + hr_size]
+        hr_all[n] = hr
+        lr_all[n] = degrade_patch(hr, rng, scale)
+    return lr_all, hr_all
+
+
+def sr_loss(pred: jax.Array, target: jax.Array, eps: float = 1e-3) -> jax.Array:
+    """Charbonnier (smooth L1) in [0,1] space — Real-ESRGAN's pixel loss."""
+    return jnp.sqrt((pred - target) ** 2 + eps**2).mean()
+
+
+def make_sr_train_step(model, tx: optax.GradientTransformation):
+    """Single-device jitted step: (variables, opt_state, lr [B,h,w,3] f32 in
+    [0,1], hr [B,H,W,3]) -> (variables, opt_state, loss)."""
+
+    def loss_fn(variables, lr, hr):
+        out = model.apply(variables, lr)
+        return sr_loss(out, hr)
+
+    @jax.jit
+    def step(variables, opt_state, lr, hr):
+        loss, grads = jax.value_and_grad(loss_fn)(variables, lr, hr)
+        updates, opt_state = tx.update(grads, opt_state, variables)
+        variables = optax.apply_updates(variables, updates)
+        return variables, opt_state, loss
+
+    return step
+
+
+def make_sr_staged_loop(
+    model,
+    tx: optax.GradientTransformation,
+    steps_per_dispatch: int = 50,
+    flip: bool = True,
+    ema_decay: float = 0.999,
+):
+    """Scan-on-device SR training. The staged dataset lives in HBM as uint8
+    batches ``lr_u8 [N,B,h,w,3]`` / ``hr_u8 [N,B,H,W,3]``; each dispatch runs
+    ``steps_per_dispatch`` optimizer steps in one ``lax.fori_loop`` with
+    paired horizontal flips and an on-device EMA shadow of the params
+    (Real-ESRGAN ships EMA weights; the shadow is what gets committed).
+
+    Returns ``run(variables, ema, opt_state, lr_u8, hr_u8, start, key) ->
+    (variables, ema, opt_state, mean_loss)``; batches are consumed round-robin
+    from ``start``. With ``flip=False`` the per-step math is identical to
+    ``make_sr_train_step`` on the same batch sequence (tested)."""
+
+    def loss_fn(variables, lr, hr):
+        return sr_loss(model.apply(variables, lr), hr)
+
+    def run(variables, ema, opt_state, lr_u8, hr_u8, start, key):
+        n_staged = lr_u8.shape[0]
+
+        def body(i, carry):
+            variables, ema, opt_state, loss_sum = carry
+            idx = (start + i) % n_staged
+            lr = jnp.take(lr_u8, idx, axis=0).astype(jnp.float32) / 255.0
+            hr = jnp.take(hr_u8, idx, axis=0).astype(jnp.float32) / 255.0
+            if flip:
+                fl = jax.random.bernoulli(
+                    jax.random.fold_in(key, i), shape=(lr.shape[0],)
+                )[:, None, None, None]
+                lr = jnp.where(fl, lr[:, :, ::-1, :], lr)
+                hr = jnp.where(fl, hr[:, :, ::-1, :], hr)
+            loss, grads = jax.value_and_grad(loss_fn)(variables, lr, hr)
+            updates, opt_state = tx.update(grads, opt_state, variables)
+            variables = optax.apply_updates(variables, updates)
+            ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay), ema, variables
+            )
+            return variables, ema, opt_state, loss_sum + loss
+
+        variables, ema, opt_state, loss_sum = jax.lax.fori_loop(
+            0, steps_per_dispatch, body,
+            (variables, ema, opt_state, jnp.float32(0.0)),
+        )
+        return variables, ema, opt_state, loss_sum / steps_per_dispatch
+
+    return jax.jit(run)
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    """Peak signal-to-noise ratio between two uint8/float arrays."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse <= 0:
+        return float("inf")
+    return float(10.0 * np.log10(peak**2 / mse))

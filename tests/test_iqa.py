@@ -170,3 +170,83 @@ def test_topiq_face_proxy_and_onnx_path(tmp_path):
     export_onnx(net, torch.randn(1, 3, 224, 224), path)
     score = topiq_face(np.stack([img] * 3, -1).astype(np.uint8), model_path=path)
     assert 0.0 <= score <= 1.0
+
+
+REF_DIR = "/root/reference"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REF_DIR), reason="reference artifacts absent"
+)
+def test_brisque_rank_agreement_with_reference_table():
+    """Directional agreement with the reference's committed pyiqa table
+    (hasil eval niqe.txt, original column): small crops score BETTER (lower
+    BRISQUE: 22.07/27.80) than medium/large crops (33.34). Our self-trained
+    SVR must reproduce that ordering on the reference's own committed face
+    crops (VERDICT r3 #6)."""
+    import glob
+    import os
+
+    from PIL import Image
+
+    files = sorted(
+        glob.glob(os.path.join(REF_DIR, "temp_streamlit*/**/crops/*.jpg"),
+                  recursive=True)
+    )
+    if len(files) < 60:
+        pytest.skip("not enough committed crops")
+    small, med_large = [], []
+    for f in files:
+        with Image.open(f) as im:
+            (small if max(im.size) < 50 else med_large).append(f)
+    rng = np.random.default_rng(0)
+    pick = lambda fs, n: list(rng.choice(fs, size=min(n, len(fs)), replace=False))
+
+    def mean_brisque(fs):
+        return float(np.mean([
+            brisque(np.asarray(Image.open(f).convert("RGB"))) for f in fs
+        ]))
+
+    b_small = mean_brisque(pick(small, 25))
+    b_large = mean_brisque(pick(med_large, 25))
+    assert b_small < b_large, (b_small, b_large)
+    # scores live in the published 0-100 band
+    assert 0.0 <= b_small <= 100.0 and 0.0 <= b_large <= 100.0
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REF_DIR), reason="reference artifacts absent"
+)
+def test_niqe_real_photo_scale_and_monotonicity():
+    """With the pristine model fit on real photo sharp patches, real photos
+    must score in the published single-digit NIQE range and degradations must
+    increase the score monotonically."""
+    import glob
+    import os
+
+    from scipy.ndimage import gaussian_filter
+
+    from facedet_tpu.data.native_loader import load_image
+
+    srcs = sorted(
+        glob.glob(os.path.join(REF_DIR, "temp_streamlit*/**/temp_sahi_input.jpg"),
+                  recursive=True)
+    )
+    if not srcs:
+        pytest.skip("no committed scenes")
+    img = load_image(srcs[3])[:768, :768]
+    clean = niqe(img)
+    blurred = niqe(gaussian_filter(img.astype(np.float64), (2.5, 2.5, 0)))
+    rng = np.random.default_rng(0)
+    noisy = niqe(np.clip(img + rng.normal(0, 25, img.shape), 0, 255))
+    assert clean < 8.0, clean
+    assert blurred > clean and noisy > clean, (clean, blurred, noisy)
+
+
+def test_niqe_small_input_policy():
+    """Sub-patch inputs (face crops) get a finite score via the documented
+    min-size upsample instead of an exception (pyiqa raises there)."""
+    rng = np.random.default_rng(0)
+    tiny = rng.integers(0, 256, (24, 30, 3)).astype(np.uint8)
+    v = niqe(tiny)
+    assert np.isfinite(v) and v >= 0.0

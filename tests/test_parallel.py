@@ -144,3 +144,48 @@ def test_tile_sharded_sliced_prediction_matches_unsharded():
     a = sorted(tuple(np.round(p.bbox.to_xyxy(), 3)) for p in plain.object_prediction_list)
     b = sorted(tuple(np.round(p.bbox.to_xyxy(), 3)) for p in sharded.object_prediction_list)
     assert a == b and len(a) == 2
+
+
+def test_multidevice_batched_stream_round_robin_parity():
+    """predict_stream_batched(devices=...) round-robins batch dispatches
+    across chips; results must match the single-device stream in order and
+    content (the serving stream's data-parallel mode, SURVEY §2.4)."""
+    import numpy as np
+    from facedet_tpu.engine.fake import FakeBlobDetectionModel
+    from facedet_tpu.engine.predict import predict_stream_batched
+
+    rng = np.random.default_rng(0)
+    imgs = []
+    for i in range(6):
+        img = np.zeros((150, 200, 3), np.uint8)
+        y, x = int(rng.integers(10, 140)), int(rng.integers(10, 190))
+        img[y - 1 : y + 2, x - 1 : x + 2] = 255
+        imgs.append(img)
+    model = FakeBlobDetectionModel(confidence_threshold=0.5)
+    kw = dict(slice_height=64, slice_width=64, overlap_height_ratio=0.25,
+              overlap_width_ratio=0.25, perform_standard_pred=False,
+              batch_size=2, raw=True)
+    single = list(predict_stream_batched(imgs, model, **kw))
+    multi = list(predict_stream_batched(imgs, model, devices=jax.devices(), **kw))
+    assert len(single) == len(multi) == 3
+    for bs, bm in zip(single, multi):
+        np.testing.assert_allclose(np.asarray(bs.scores), np.asarray(bm.scores), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bs.boxes), np.asarray(bm.boxes), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(bs.valid), np.asarray(bm.valid))
+
+
+def test_multidevice_stream_accepts_mesh():
+    import numpy as np
+    from facedet_tpu.engine.fake import FakeBlobDetectionModel
+    from facedet_tpu.engine.predict import predict_stream_batched
+
+    mesh = create_mesh(8)
+    img = np.zeros((100, 120, 3), np.uint8)
+    img[29:32, 39:42] = 255
+    model = FakeBlobDetectionModel(confidence_threshold=0.5)
+    out = list(predict_stream_batched(
+        [img] * 4, model, devices=mesh, batch_size=2, raw=True,
+        slice_height=64, slice_width=64, perform_standard_pred=False,
+    ))
+    assert len(out) == 2
+    assert all(int(np.asarray(b.valid).sum(-1).max()) >= 1 for b in out)
