@@ -252,3 +252,53 @@ def test_sharded_staged_loop_on_mesh(setup):
     # (measured 4.5e-4 max) — same tolerance policy as the stepwise test
     for a, b in zip(jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_scrfd_loss_and_step_learns():
+    """SCRFD trainer (train/scrfd_train.py): loss is finite and decreases on
+    a fixed tiny batch — the unit-scale analog of selftrain_demo --model
+    scrfd (VERDICT r3 #5)."""
+    import dataclasses
+
+    import optax
+
+    from facedet_tpu.models.scrfd import SCRFD_VARIANTS, Scrfd
+    from facedet_tpu.train.scrfd_train import make_scrfd_train_step, scrfd_loss
+
+    cfg = dataclasses.replace(
+        SCRFD_VARIANTS["scrfd_500m"],
+        stem=8, widths=(8, 12, 16, 24), depths=(1, 1, 1, 1), neck=16,
+        head_width=16, dtype="float32",
+    )
+    model = Scrfd(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    images[0, 8:24, 8:24] = 1.0
+    images[1, 30:60, 20:50] = 1.0
+    boxes = jnp.asarray([[[8.0, 8.0, 24.0, 24.0]], [[20.0, 30.0, 50.0, 60.0]]])
+    mask = jnp.ones((2, 1), bool)
+    kpts = jnp.zeros((2, 1, 5, 3)).at[..., :2].set(16.0).at[..., 2].set(1.0)
+
+    # loss function alone: finite, has the expected parts
+    outs = model.apply({"params": params, "batch_stats": batch_stats},
+                       jnp.asarray(images), train=False)
+    total, parts = scrfd_loss(outs, boxes, mask, kpts)
+    assert np.isfinite(float(total))
+    assert set(parts) == {"box", "cls", "kps"}
+
+    tx = optax.adam(5e-3)
+    opt_state = tx.init(params)
+    step = make_scrfd_train_step(model, tx)
+    first = last = None
+    for i in range(25):
+        params, batch_stats, opt_state, loss, _ = step(
+            params, batch_stats, opt_state,
+            jnp.asarray(images), boxes, mask, kpts,
+        )
+        if i == 0:
+            first = float(loss)
+        last = float(loss)
+    assert np.isfinite(last) and last < first, (first, last)
