@@ -298,6 +298,90 @@ def _device_accounting(model, img, cfg, bsz):
     return device_s_per_image, spread, flops_per_image, bytes_h2d
 
 
+def _sr_accounting(image_hw=(512, 768), n_timed: int = 3):
+    """SR serving block (VERDICT r3 #2): the enhance-pipeline headline the
+    reference scaffolds in scripts/inference_time.py:43-62. Config = the
+    reference's production enhancer (x4 RRDBNet-23, tile 400 / pad 10,
+    batch-8 tile chunks); throughput runs file->file through
+    ``enhance_to_jpeg`` with the sparse device-side coefficient fetch, and
+    device ms/MFU come from the same K-difference method as the detector
+    block. Trained golden weights are used when committed (recorded in the
+    JSON); random init measures the same compute."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from facedet_tpu.engine.enhancer import FaceEnhancer
+    from facedet_tpu.utils.viz import save_image
+
+    ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "facedet_tpu", "eval", "assets", "rrdb_x4_golden.npz",
+    )
+    weights = "golden_trained" if os.path.exists(ckpt) else "random_init"
+    enh = FaceEnhancer(
+        model_name="RealESRGAN_x4plus",
+        model_path=ckpt if weights == "golden_trained" else None,
+        outscale=4.0, tile=400, tile_pad=10, half=True,
+    )
+    h, w = image_hw
+    img = _make_image(h, w)
+    tmp = tempfile.mkdtemp(prefix="bench_sr_")
+    src = os.path.join(tmp, "in.jpg")
+    save_image(src, img, quality=92)
+
+    # throughput: warm (compile) then timed file->file enhancements with the
+    # sparse coefficient fetch (the low-bandwidth serving fetch path)
+    enh.enhance_to_jpeg(src, os.path.join(tmp, "warm.jpg"), sparse=True)
+    t0 = time.perf_counter()
+    for i in range(n_timed):
+        enh.enhance_to_jpeg(src, os.path.join(tmp, f"out{i}.jpg"), sparse=True)
+    sr_ips = n_timed / (time.perf_counter() - t0)
+
+    # device-only K-difference on the fused SR+encode pipeline (inputs
+    # resident; per-iteration tweak defeats loop-invariant hoisting)
+    pipeline, _qy, _qc, _thw = enh._enhance_dct_pipeline(h, w, 4.0, 95, sparse=True)
+    x = jax.device_put(jnp.asarray(img, jnp.float32) / 255.0)
+    variables = jax.device_put(enh.variables)
+
+    @jax.jit
+    def repeat(n, variables, x):
+        def body(i, acc):
+            xi = x.at[0, 0, 0].set((i % 7).astype(x.dtype) / 7.0)
+            out = pipeline(variables, xi)
+            return acc + out[0].astype(jnp.float32).sum()
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(repeat(n, variables, x))
+        return time.perf_counter() - t0
+
+    k = 3
+    timed(1)  # compile + warm
+    diffs = [(timed(k) - timed(1)) / (k - 1) for _ in range(3)]
+    positive = sorted(d for d in diffs if d > 0)
+    dev_s = positive[len(positive) // 2] if positive else None
+    try:
+        cost = pipeline.lower(enh.variables, x).compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    return {
+        "sr_images_per_sec": round(sr_ips, 3),
+        "sr_device_ms_per_image": round(dev_s * 1e3, 1) if dev_s else None,
+        "sr_mfu_est": (
+            round(flops / (dev_s * PEAK_BF16_FLOPS), 4) if flops and dev_s else None
+        ),
+        "sr_flops_per_image": flops,
+        "sr_scale": 4, "sr_tile": 400, "sr_tile_pad": 10,
+        "sr_input_hw": list(image_hw), "sr_weights": weights,
+        "sr_fetch": "dct420s",
+    }
+
+
 def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int = 64,
               ingest: str = "dct420s"):
     """bsz=64: the measured serving sweet spot on the tunneled v5e — dispatch

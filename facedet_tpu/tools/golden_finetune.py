@@ -123,7 +123,8 @@ def _remap_boxes(
 def sample_crop(
     rec: dict, rng: np.random.Generator, out: int = 640,
     scale_range: tuple[float, float] = (0.6, 1.6), max_boxes: int = 64,
-):
+):  # noqa: D401 — scale_range > 1 zooms OUT (faces shrink): the multi-scale
+    # lever for the dense tiny-face scenes (VERDICT r3 #8)
     """One training example: a face-anchored random window resized to
     ``out`` x ``out`` (PIL bilinear), boxes remapped, random h-flip."""
     from PIL import Image
@@ -169,7 +170,8 @@ def sample_crop(
     return np.ascontiguousarray(crop), out_boxes, out_mask, out_kpts
 
 
-def sample_mosaic(records, rng, out: int, max_boxes: int):
+def sample_mosaic(records, rng, out: int, max_boxes: int,
+                  scale_range: tuple[float, float] = (0.6, 1.6)):
     """4-quadrant mosaic of independent face-anchored crops (the reference
     trains with mosaic=1.0, pipeline_v3_RTDETR/train_rtdetr.py:191-207) —
     multiplies scene diversity on tiny datasets."""
@@ -178,7 +180,8 @@ def sample_mosaic(records, rng, out: int, max_boxes: int):
     acc, acc_k = [], []
     for oy, ox in ((0, 0), (0, half), (half, 0), (half, half)):
         rec = records[rng.integers(len(records))]
-        img, b, m, k = sample_crop(rec, rng, out=half, max_boxes=max_boxes)
+        img, b, m, k = sample_crop(rec, rng, out=half, max_boxes=max_boxes,
+                                   scale_range=scale_range)
         canvas[oy : oy + half, ox : ox + half] = img
         if m.any():
             acc.append(b[m] + np.array([ox, oy, ox, oy], np.float32))
@@ -206,15 +209,17 @@ def _photometric_jitter(img: np.ndarray, rng: np.random.Generator) -> np.ndarray
 
 
 def sample_batch(records, rng, batch: int, out: int = 640, max_boxes: int = 64,
-                 mosaic_prob: float = 0.0, jitter: bool = False):
+                 mosaic_prob: float = 0.0, jitter: bool = False,
+                 scale_range: tuple[float, float] = (0.6, 1.6)):
     ims, bxs, mks, kps = [], [], [], []
     for _ in range(batch):
         if mosaic_prob and rng.random() < mosaic_prob:
-            img, b, m, k = sample_mosaic(records, rng, out, max_boxes)
+            img, b, m, k = sample_mosaic(records, rng, out, max_boxes,
+                                         scale_range=scale_range)
         else:
             img, b, m, k = sample_crop(
                 records[rng.integers(len(records))], rng, out=out,
-                max_boxes=max_boxes,
+                max_boxes=max_boxes, scale_range=scale_range,
             )
         if jitter:
             img = _photometric_jitter(img, rng)
@@ -293,13 +298,22 @@ def train_yolo(args, train_recs, seed: int = 0, eval_points=(), eval_hook=None):
 
     rng = np.random.default_rng(seed)
     max_boxes = 64
+    scale_range = getattr(args, "scale_range_t", (0.6, 1.6))
+    # dispatch-level EMA (VERDICT r3 #8): the staged loop returns params only
+    # at dispatch boundaries, so the shadow updates per dispatch with the
+    # per-step decay compounded over the dispatch length — the same ~1/(1-d)
+    # step averaging window as per-step EMA at zero compile cost. Warmup
+    # keeps a young shadow tracking the params instead of the random init.
+    ema_decay = getattr(args, "ema", 0.0)
+    ema = None
     t0 = time.perf_counter()
     if args.staged:
         from facedet_tpu.train.yolo_train import make_staged_train_loop
 
         batches = [
             sample_batch(train_recs, rng, args.batch, args.size, max_boxes,
-                         mosaic_prob=args.mosaic_prob, jitter=not args.no_jitter)
+                         mosaic_prob=args.mosaic_prob, jitter=not args.no_jitter,
+                         scale_range=scale_range)
             for _ in range(args.staged)
         ]
         s_ims = jnp.asarray(np.stack([b[0] for b in batches]))
@@ -320,6 +334,7 @@ def train_yolo(args, train_recs, seed: int = 0, eval_points=(), eval_hook=None):
         run = make_staged_train_loop(model, tx, steps_per_dispatch=spd)
         key = jax.random.PRNGKey(3 + seed)
         done = 0
+        n_dispatch = 0
         while done < args.steps:
             key, sub = jax.random.split(key)
             params, batch_stats, opt_state, mean_loss = run(
@@ -327,9 +342,17 @@ def train_yolo(args, train_recs, seed: int = 0, eval_points=(), eval_hook=None):
                 s_ims, s_bxs, s_mks, s_kps, done, sub,
             )
             done += spd
+            if ema_decay:
+                dd = min(ema_decay**spd, (1 + n_dispatch) / (10 + n_dispatch))
+                ema = (
+                    params if ema is None
+                    else jax.tree.map(lambda e, p: e * dd + p * (1 - dd), ema, params)
+                )
+                n_dispatch += 1
             print(f"step {done}: mean loss {float(mean_loss):.4f}")
             while evals and done >= evals[0]:
-                eval_hook(evals.pop(0), make_det(params, batch_stats))
+                eval_hook(evals.pop(0),
+                          make_det(ema if ema is not None else params, batch_stats))
     else:
         step = make_train_step(model, tx)
         to_f32 = jax.jit(lambda u: u.astype(jnp.float32) / 255.0)
@@ -337,18 +360,27 @@ def train_yolo(args, train_recs, seed: int = 0, eval_points=(), eval_hook=None):
             ims, bxs, mks, kps = sample_batch(
                 train_recs, rng, args.batch, args.size, max_boxes,
                 mosaic_prob=args.mosaic_prob, jitter=not args.no_jitter,
+                scale_range=scale_range,
             )
             params, batch_stats, opt_state, loss, _ = step(
                 params, batch_stats, opt_state,
                 to_f32(jnp.asarray(ims)), jnp.asarray(bxs), jnp.asarray(mks),
                 jnp.asarray(kps),
             )
+            if ema_decay:
+                dd = min(ema_decay, (1 + it) / (10 + it))
+                ema = (
+                    params if ema is None
+                    else jax.tree.map(lambda e, p: e * dd + p * (1 - dd), ema, params)
+                )
             if it % 100 == 0 or it == args.steps - 1:
                 print(f"step {it}: loss {float(loss):.4f}")
             while evals and it + 1 >= evals[0]:
-                eval_hook(evals.pop(0), make_det(params, batch_stats))
+                eval_hook(evals.pop(0),
+                          make_det(ema if ema is not None else params, batch_stats))
     train_s = time.perf_counter() - t0
-    return make_det(params, batch_stats), train_s
+    final = ema if ema is not None else params
+    return make_det(final, batch_stats), train_s
 
 
 def main_cv(args, records, goldens, keypoints):
@@ -478,7 +510,15 @@ def main(argv=None):
                     help="K-fold cross-validation: every golden image held "
                     "out once, step count picked on CV mean, final "
                     "checkpoint trained on all data (yolo path)")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="per-step EMA decay for an evaluation/checkpoint "
+                    "shadow of the params (0 = off; staged mode compounds it "
+                    "per dispatch)")
+    ap.add_argument("--scale-range", default="0.6,1.6",
+                    help="crop window scale range lo,hi in units of --size; "
+                    "hi > 1.6 zooms out harder (smaller faces in view)")
     args = ap.parse_args(argv)
+    args.scale_range_t = tuple(float(x) for x in args.scale_range.split(","))
     if args.model == "rtdetr":
         return main_rtdetr(args)
     if args.lr is None:

@@ -166,8 +166,12 @@ def make_sr_staged_loop(
     (Real-ESRGAN ships EMA weights; the shadow is what gets committed).
 
     Returns ``run(variables, ema, opt_state, lr_u8, hr_u8, start, key) ->
-    (variables, ema, opt_state, mean_loss)``; batches are consumed round-robin
-    from ``start``. With ``flip=False`` the per-step math is identical to
+    (variables, ema, opt_state, mean_loss)``; ``start`` is the GLOBAL step
+    count already taken (batches are consumed round-robin from it, and it
+    drives the EMA warmup: effective decay ``min(ema_decay, (1+g)/(10+g))``
+    so a young shadow tracks the params instead of the random init — at a
+    flat 0.999, a 300-step run's EMA would still be ~74% init). With
+    ``flip=False`` the per-step params math is identical to
     ``make_sr_train_step`` on the same batch sequence (tested)."""
 
     def loss_fn(variables, lr, hr):
@@ -178,7 +182,8 @@ def make_sr_staged_loop(
 
         def body(i, carry):
             variables, ema, opt_state, loss_sum = carry
-            idx = (start + i) % n_staged
+            g = start + i  # global step
+            idx = g % n_staged
             lr = jnp.take(lr_u8, idx, axis=0).astype(jnp.float32) / 255.0
             hr = jnp.take(hr_u8, idx, axis=0).astype(jnp.float32) / 255.0
             if flip:
@@ -190,8 +195,9 @@ def make_sr_staged_loop(
             loss, grads = jax.value_and_grad(loss_fn)(variables, lr, hr)
             updates, opt_state = tx.update(grads, opt_state, variables)
             variables = optax.apply_updates(variables, updates)
+            d = jnp.minimum(ema_decay, (1.0 + g) / (10.0 + g))
             ema = jax.tree.map(
-                lambda e, p: e * ema_decay + p * (1.0 - ema_decay), ema, variables
+                lambda e, p: e * d + p * (1.0 - d), ema, variables
             )
             return variables, ema, opt_state, loss_sum + loss
 
