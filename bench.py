@@ -383,7 +383,7 @@ def _sr_accounting(image_hw=(512, 768), n_timed: int = 3):
 
 
 def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int = 64,
-              ingest: str = "dct420s"):
+              ingest: str = "dct420s", int8: bool = False):
     """bsz=64: the measured serving sweet spot on the tunneled v5e — dispatch
     and link round-trip overheads amortise over the batch (8->16->32->64
     images/dispatch measured 5.5 -> 8.4 -> 9.7 -> 11.1 img/s in one medium
@@ -405,6 +405,14 @@ def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int 
         image_size=640,
         max_detections_per_tile=300,
     )
+    if int8:
+        # MXU-int8 serving mode (models/quantize.py): backbone+neck convs in
+        # int8 with folded BN epilogues; golden-parity A/B'd in
+        # tools/probe_int8_yolo
+        from facedet_tpu.models.quantize import quantize_detector
+
+        n_q = quantize_detector(model)
+        _PROGRESS["extras"]["int8_convs"] = n_q
     img = _make_image(*image_hw)
 
     cfg = dict(
@@ -511,6 +519,12 @@ def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int 
     except Exception:
         pass
 
+    # SR serving block (x4 enhance pipeline headline, VERDICT r3 #2)
+    try:
+        _PROGRESS["extras"].update(_sr_accounting())
+    except Exception as e:
+        _PROGRESS["extras"]["sr_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+
     return ips, p50, _PROGRESS["extras"]
 
 
@@ -541,13 +555,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=16)
     ap.add_argument("--cpu", action="store_true", help="measure the CPU baseline")
-    ap.add_argument("--watchdog", type=int, default=480, help="seconds before emitting best-so-far and exiting (0 = off)")
+    ap.add_argument("--watchdog", type=int, default=900, help="seconds before emitting best-so-far and exiting (0 = off; default sized for the accounting extras + SR block on a warm compile cache)")
     ap.add_argument(
         "--ingest", default="dct420s",
         choices=["rgb", "yuv420", "dct420", "dct420s"],
         help="upload format for the measured stream (default: sparse-bitmap "
         "DCT coefficients — fewest wire bytes through the tunneled link)",
     )
+    ap.add_argument("--int8", action="store_true",
+                    help="quantize the detector's backbone+neck convs to "
+                         "MXU int8 (models/quantize.py)")
     args = ap.parse_args()
 
     if args.watchdog and not args.cpu:
@@ -568,7 +585,8 @@ def main():
     # the CPU baseline keeps its CPU-optimal ingest (see CPU_REFERENCE_IPS
     # note above); --ingest only steers the TPU measurement
     ingest = "yuv420" if args.cpu else args.ingest
-    ips, p50, extras = run_bench(args.images, ingest=ingest)
+    ips, p50, extras = run_bench(args.images, ingest=ingest,
+                                 int8=args.int8 and not args.cpu)
     _PROGRESS["complete"] = True
     _emit(ips, p50, extras)
 

@@ -263,6 +263,17 @@ def main(argv=None):
     ap.add_argument("--holdout", type=int, default=3,
                     help="images excluded from patch sampling, used for PSNR eval")
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--usm", type=float, default=0.0,
+                    help="USM-sharpen HR targets with this weight "
+                         "(Real-ESRGAN's GT sharpening; try 0.5 at x4)")
+    ap.add_argument("--gan-steps", type=int, default=0,
+                    help="adversarial fine-tune steps after (or instead of) "
+                         "the L1 phase — Real-ESRGAN's GAN arm (train/sr_gan.py)")
+    ap.add_argument("--gan-adv-weight", type=float, default=0.1)
+    ap.add_argument("--gan-lr", type=float, default=1e-4)
+    ap.add_argument("--init-from", default=None,
+                    help="warm-start G from this .npz (skips the L1 phase "
+                         "when --steps 0)")
     ap.add_argument("--max-crops", type=int, default=96)
     ap.add_argument("--out", default=None, help="checkpoint path (.npz)")
     ap.add_argument("--report", default=None, help="report path (.json)")
@@ -306,6 +317,7 @@ def main(argv=None):
             "scale": args.scale, "num_block": args.blocks, "num_feat": args.feat,
             "steps": args.steps, "batch": args.batch, "hr_size": args.hr_size,
             "patches": args.patches, "lr": args.lr, "seed": args.seed,
+            "usm_weight": args.usm,
             "train_images": [r["name"] for r in train_recs],
             "holdout_images": [r["name"] for r in holdout],
         },
@@ -317,6 +329,7 @@ def main(argv=None):
             [r["image"] for r in train_recs],
             args.patches, args.hr_size, args.scale, seed=args.seed,
             face_boxes=[np.asarray(r["boxes"]) for r in train_recs],
+            usm_weight=args.usm,
         )
         n_batches = args.patches // args.batch
         lr_staged = lr_u8[: n_batches * args.batch].reshape(
@@ -331,41 +344,102 @@ def main(argv=None):
 
         model = RRDBNet(cfg)
         cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):  # remote init costs minutes (CLAUDE.md)
-            variables = model.init(
-                jax.random.PRNGKey(args.seed),
-                jnp.zeros((1, args.hr_size // args.scale,
-                           args.hr_size // args.scale, 3)),
-            )
-        sched = optax.warmup_cosine_decay_schedule(
-            0.0, args.lr, 200, max(args.steps, 201), args.lr * 0.05
-        )
-        tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(sched))
-        with jax.default_device(cpu):
-            opt_state = tx.init(variables)
-
         dev = jax.devices()[0]
+        if args.init_from:
+            from facedet_tpu.engine.detector import load_params_npz
+
+            variables = load_params_npz(args.init_from)
+            print(f"warm-start G from {args.init_from}")
+        else:
+            with jax.default_device(cpu):  # remote init costs minutes (CLAUDE.md)
+                variables = model.init(
+                    jax.random.PRNGKey(args.seed),
+                    jnp.zeros((1, args.hr_size // args.scale,
+                               args.hr_size // args.scale, 3)),
+                )
         variables = jax.device_put(variables, dev)
         ema = jax.tree.map(lambda x: x, variables)
-        opt_state = jax.device_put(opt_state, dev)
         lr_d = jax.device_put(jnp.asarray(lr_staged), dev)
         hr_d = jax.device_put(jnp.asarray(hr_staged), dev)
-        run = make_sr_staged_loop(model, tx, steps_per_dispatch=args.staged)
         key = jax.random.PRNGKey(args.seed + 1)
 
-        t0 = time.time()
-        done = 0
-        while done < args.steps:
-            variables, ema, opt_state, loss = run(
-                variables, ema, opt_state, lr_d, hr_d,
-                jnp.int32(done), jax.random.fold_in(key, done),
+        if args.steps > 0:
+            sched = optax.warmup_cosine_decay_schedule(
+                0.0, args.lr, 200, max(args.steps, 201), args.lr * 0.05
             )
-            done += args.staged  # loop length is compiled; overshoot is fine
-            print(f"step {min(done, args.steps)}/{args.steps} "
-                  f"loss {float(loss):.4f} ({time.time() - t0:.0f}s)", flush=True)
-        train_s = time.time() - t0
-        report["train_seconds"] = round(train_s, 1)
-        report["final_loss"] = round(float(loss), 5)
+            tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(sched))
+            with jax.default_device(cpu):
+                opt_state = tx.init(variables)
+            opt_state = jax.device_put(opt_state, dev)
+            run = make_sr_staged_loop(model, tx, steps_per_dispatch=args.staged)
+
+            t0 = time.time()
+            done = 0
+            while done < args.steps:
+                variables, ema, opt_state, loss = run(
+                    variables, ema, opt_state, lr_d, hr_d,
+                    jnp.int32(done), jax.random.fold_in(key, done),
+                )
+                done += args.staged  # loop length is compiled; overshoot is fine
+                print(f"step {min(done, args.steps)}/{args.steps} "
+                      f"loss {float(loss):.4f} ({time.time() - t0:.0f}s)", flush=True)
+            train_s = time.time() - t0
+            report["train_seconds"] = round(train_s, 1)
+            report["final_loss"] = round(float(loss), 5)
+
+        if args.gan_steps > 0:
+            from facedet_tpu.train.sr_gan import (
+                PatchDiscriminator, make_sr_gan_staged_loop,
+            )
+
+            d_model = PatchDiscriminator()
+            with jax.default_device(cpu):
+                d_vars = d_model.init(
+                    jax.random.PRNGKey(args.seed + 7),
+                    jnp.zeros((1, args.hr_size, args.hr_size, 3)),
+                )
+            g_tx = optax.chain(optax.clip_by_global_norm(5.0),
+                               optax.adam(args.gan_lr))
+            d_tx = optax.chain(optax.clip_by_global_norm(5.0),
+                               optax.adam(args.gan_lr))
+            with jax.default_device(cpu):
+                g_opt = g_tx.init(variables)
+                d_opt = d_tx.init(d_vars["params"])
+            d_params = jax.device_put(d_vars["params"], dev)
+            d_stats = jax.device_put(d_vars.get("batch_stats", {}), dev)
+            g_opt = jax.device_put(g_opt, dev)
+            d_opt = jax.device_put(d_opt, dev)
+            # GAN phase re-seeds the EMA from the L1 solution: the adversarial
+            # walk is what we want averaged, not the L1 trajectory
+            ema = jax.tree.map(lambda x: x, variables)
+            gan_run = make_sr_gan_staged_loop(
+                model, d_model, g_tx, d_tx,
+                steps_per_dispatch=args.staged,
+                adv_weight=args.gan_adv_weight,
+            )
+            t0 = time.time()
+            done = 0
+            report["gan"] = {"steps": args.gan_steps,
+                             "adv_weight": args.gan_adv_weight,
+                             "lr": args.gan_lr}
+            while done < args.gan_steps:
+                variables, ema, g_opt, d_params, d_stats, d_opt, metrics = (
+                    gan_run(
+                        variables, ema, g_opt, d_params, d_stats, d_opt,
+                        lr_d, hr_d, jnp.int32(done),
+                        jax.random.fold_in(key, 10_000 + done),
+                    )
+                )
+                done += args.staged
+                print(f"gan step {min(done, args.gan_steps)}/{args.gan_steps} "
+                      f"pixel {float(metrics['pixel']):.4f} "
+                      f"adv {float(metrics['adv']):.4f} "
+                      f"d {float(metrics['d']):.4f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+            report["gan"]["seconds"] = round(time.time() - t0, 1)
+            report["gan"]["final"] = {k: round(float(v), 5)
+                                      for k, v in metrics.items()}
+
         save_params_npz(ckpt, jax.device_get(ema), half=True)
         print(f"checkpoint -> {ckpt}")
 

@@ -28,12 +28,31 @@ import optax
 __all__ = [
     "degrade_patch",
     "degrade_image",
+    "usm_sharpen",
     "build_sr_dataset",
     "sr_loss",
     "make_sr_train_step",
     "make_sr_staged_loop",
     "psnr",
 ]
+
+
+def usm_sharpen(
+    hr_u8: np.ndarray, weight: float = 0.5, radius: float = 2.0,
+    threshold: float = 10.0,
+) -> np.ndarray:
+    """Unsharp-mask the HR target — Real-ESRGAN's GT sharpening (its trainer
+    regresses against ``usm_sharp(gt)`` while synthesizing LQ from the
+    unsharpened gt), the recipe's non-GAN lever against the over-smooth
+    outputs a pure restoration loss converges to at x4. ``threshold`` (0-255)
+    masks low-contrast residuals so flat regions aren't noise-amplified."""
+    from scipy.ndimage import gaussian_filter
+
+    img = hr_u8.astype(np.float32)
+    residual = img - gaussian_filter(img, (radius, radius, 0.0))
+    mask = np.abs(residual) > threshold
+    sharp = np.where(mask, img + weight * residual, img)
+    return np.clip(sharp.round(), 0, 255).astype(np.uint8)
 
 
 def degrade_patch(hr_u8: np.ndarray, rng: np.random.Generator, scale: int) -> np.ndarray:
@@ -93,13 +112,17 @@ def build_sr_dataset(
     seed: int = 0,
     face_boxes: Optional[list[np.ndarray]] = None,
     face_fraction: float = 0.5,
+    usm_weight: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sample ``n_patches`` HR crops from ``images`` (uint8 HWC, any sizes)
     and degrade each independently. When ``face_boxes`` (xyxy per image) is
     given, ``face_fraction`` of the patches center on a random face — faces
     are what the serving pipelines enhance (pipeline v1 crops, v2 whole-image
     before detection), so the patch distribution leans where the model is
-    used. Returns (lr_u8 [N,hr/scale,hr/scale,3], hr_u8 [N,hr,hr,3])."""
+    used. ``usm_weight > 0`` sharpens the returned HR *targets* with
+    :func:`usm_sharpen` (LR is always degraded from the unsharpened crop,
+    matching Real-ESRGAN's trainer). Returns
+    (lr_u8 [N,hr/scale,hr/scale,3], hr_u8 [N,hr,hr,3])."""
     rng = np.random.default_rng(seed)
     usable = [
         i for i, im in enumerate(images)
@@ -124,7 +147,7 @@ def build_sr_dataset(
             y0 = int(rng.integers(0, h - hr_size + 1))
             x0 = int(rng.integers(0, w - hr_size + 1))
         hr = img[y0 : y0 + hr_size, x0 : x0 + hr_size]
-        hr_all[n] = hr
+        hr_all[n] = usm_sharpen(hr, weight=usm_weight) if usm_weight > 0 else hr
         lr_all[n] = degrade_patch(hr, rng, scale)
     return lr_all, hr_all
 

@@ -172,3 +172,26 @@ def test_sr_golden_tool_helpers():
     for c in crops:
         assert c["crop"].ndim == 3 and c["crop"].size > 0
         assert c["category"] in ("small", "medium", "large")
+
+
+def test_usm_sharpen_targets():
+    """USM sharpening (Real-ESRGAN's GT recipe): edges get amplified, flat
+    regions (below threshold) stay untouched, and build_sr_dataset applies it
+    to HR targets only."""
+    from facedet_tpu.train.sr_train import usm_sharpen
+
+    img = np.full((32, 32, 3), 100, np.uint8)
+    img[:, 16:] = 180  # a vertical edge
+    sharp = usm_sharpen(img, weight=0.5, radius=2.0, threshold=10.0)
+    # flat interiors unchanged
+    assert (sharp[:, :8] == 100).all() and (sharp[:, 24:] == 180).all()
+    # overshoot at the edge: darker on the dark side, brighter on the bright
+    assert sharp[:, 12:16].min() < 100
+    assert sharp[:, 16:20].max() > 180
+
+    imgs = _toy_images(n=2, size=64)
+    lr_plain, hr_plain = build_sr_dataset(imgs, 4, 32, 2, seed=1)
+    lr_usm, hr_usm = build_sr_dataset(imgs, 4, 32, 2, seed=1, usm_weight=0.5)
+    # same sampling: LR identical (degraded from the UNsharpened crop)
+    np.testing.assert_array_equal(lr_plain, lr_usm)
+    assert (hr_plain != hr_usm).any()
