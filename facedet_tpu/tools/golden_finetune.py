@@ -389,7 +389,9 @@ def main_cv(args, records, goldens, keypoints):
     final checkpoint trained on ALL records at the CV-chosen step count."""
     from facedet_tpu.engine.detector import save_params_npz
 
-    eval_points = sorted({args.steps // 2, args.steps})
+    eval_points = sorted(
+        getattr(args, "eval_points_t", None) or {args.steps // 2, args.steps}
+    )
     folds = cv_folds(records, args.cv)
     fold_rows = []
     for f, (train_f, held_f) in enumerate(folds):
@@ -517,8 +519,15 @@ def main(argv=None):
     ap.add_argument("--scale-range", default="0.6,1.6",
                     help="crop window scale range lo,hi in units of --size; "
                     "hi > 1.6 zooms out harder (smaller faces in view)")
+    ap.add_argument("--eval-points", default=None,
+                    help="CV mode: comma list of step budgets to score per "
+                    "fold (default: steps/2,steps); each must be <= --steps")
     args = ap.parse_args(argv)
     args.scale_range_t = tuple(float(x) for x in args.scale_range.split(","))
+    args.eval_points_t = (
+        {int(x) for x in args.eval_points.split(",")} if args.eval_points
+        else None
+    )
     if args.model == "rtdetr":
         return main_rtdetr(args)
     if args.lr is None:

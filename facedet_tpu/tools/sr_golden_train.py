@@ -462,8 +462,14 @@ def main(argv=None):
     crops = collect_face_crops(records, args.max_crops)
     enhanced = enhance_crops(enhancer, [c["crop"] for c in crops])
     report["iqa_face_crops"] = iqa_table(crops, enhanced)
-    sbs = os.path.join(os.path.dirname(report_path),
-                       f"sr_x{args.scale}_side_by_side.jpg")
+    # custom --report names get their own side-by-side (a sr_x4gan report
+    # must not clobber the committed sr_x4 grid)
+    if args.report:
+        stem = os.path.splitext(os.path.basename(report_path))[0]
+        sbs_name = stem.replace("_report", "") + "_side_by_side.jpg"
+    else:
+        sbs_name = f"sr_x{args.scale}_side_by_side.jpg"
+    sbs = os.path.join(os.path.dirname(report_path), sbs_name)
     report["side_by_side"] = save_side_by_side(crops, enhanced, sbs)
     print(f"side-by-side -> {sbs}")
     ov = report["iqa_face_crops"]["overall"]
