@@ -315,14 +315,14 @@ def _sr_accounting(image_hw=(512, 768), n_timed: int = 3):
     from facedet_tpu.engine.enhancer import FaceEnhancer
     from facedet_tpu.utils.viz import save_image
 
-    ckpt = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "facedet_tpu", "eval", "assets", "rrdb_x4_golden.npz",
-    )
-    weights = "golden_trained" if os.path.exists(ckpt) else "random_init"
+    # the x4 production arm is the GAN-trained checkpoint (like upstream's
+    # shipped x4 weights); FaceEnhancer resolves it by catalog name
+    from facedet_tpu.engine.enhancer import _golden_ckpt_path
+
+    ckpt = _golden_ckpt_path("RealESRGAN_x4plus")
+    weights = os.path.basename(ckpt) if ckpt else "random_init"
     enh = FaceEnhancer(
         model_name="RealESRGAN_x4plus",
-        model_path=ckpt if weights == "golden_trained" else None,
         outscale=4.0, tile=400, tile_pad=10, half=True,
     )
     h, w = image_hw

@@ -94,6 +94,26 @@ def tiled_sr(
 
 _SIZE_BUCKETS = (32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
 
+# Committed golden-trained weights (tools/sr_golden_train.py) picked up by
+# catalog name when no explicit model_path is given — the analog of the
+# reference's pretrained-weight auto-download (utils/enhancer.py:99-156;
+# upstream's shipped x4 weights are GAN-trained, hence the gan arm here).
+_GOLDEN_CKPTS = {
+    "RealESRGAN_x4plus": "rrdb_x4gan_golden.npz",
+    "RealESRGAN_x2plus": "rrdb_x2_golden.npz",
+}
+
+
+def _golden_ckpt_path(model_name: str) -> Optional[str]:
+    fname = _GOLDEN_CKPTS.get(model_name)
+    if fname is None:
+        return None
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "eval", "assets", fname,
+    )
+    return path if os.path.exists(path) else None
+
 
 def _bucket_dim(x: int) -> int:
     for b in _SIZE_BUCKETS:
@@ -107,7 +127,8 @@ class FaceEnhancer:
 
     model_name ∈ MODEL_CATALOG; ``half=True`` selects bfloat16 compute (the TPU
     analog of the reference's fp16, :88-91). ``model_path`` loads a converted
-    ``.npz`` checkpoint; None = random init (tests/benchmarks).
+    ``.npz`` checkpoint; None resolves the committed golden-trained weights
+    for catalog names (random init when absent or when ``cfg`` is custom).
     """
 
     def __init__(
@@ -128,6 +149,11 @@ class FaceEnhancer:
                     f"unknown model {model_name!r}; available: {list(MODEL_CATALOG)}"
                 )
             cfg = MODEL_CATALOG[model_name]
+            if model_path is None:
+                model_path = _golden_ckpt_path(model_name)
+                if model_path:
+                    print(f"[enhancer] golden-trained weights: "
+                          f"{os.path.basename(model_path)}")
         on_cpu = (device or jax.devices()[0].platform) in ("cpu", "CPU")
         if on_cpu:
             # CPU mode: full precision + small tiles, mirroring the

@@ -99,6 +99,30 @@ def test_catalog():
         FaceEnhancer(model_name="nope")
 
 
+def test_golden_weights_resolve_by_catalog_name():
+    """Catalog names pick up the committed golden-trained checkpoints (the
+    analog of the reference's pretrained auto-download, utils/enhancer.py:99);
+    a custom cfg stays random-init."""
+    import os
+
+    from facedet_tpu.engine.detector import load_params_npz
+    from facedet_tpu.engine.enhancer import _golden_ckpt_path
+
+    for name in ("RealESRGAN_x2plus", "RealESRGAN_x4plus"):
+        ckpt = _golden_ckpt_path(name)
+        assert ckpt is not None and os.path.exists(ckpt), name
+        enh = FaceEnhancer(model_name=name, tile=0, half=False)
+        want = load_params_npz(ckpt)
+        got_leaf = enh.variables["params"]["conv_first"]["kernel"]
+        want_leaf = want["params"]["conv_first"]["kernel"]
+        np.testing.assert_array_equal(
+            np.asarray(got_leaf, np.float32), np.asarray(want_leaf, np.float32)
+        )
+    # custom cfg: no auto-resolution (tests/benchmarks stay random + tiny)
+    tiny = FaceEnhancer(cfg=TINY, outscale=4, tile=0, half=False)
+    assert tiny.variables["params"]["conv_first"]["kernel"].shape[-1] == 8
+
+
 def test_enhance_to_jpeg_coefficient_fetch(tmp_path):
     """enhance_to_jpeg fetches the SR output as device-encoded DCT
     coefficients and entropy-codes them natively into a real .jpg; pixels
