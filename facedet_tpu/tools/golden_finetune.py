@@ -256,21 +256,34 @@ def cv_folds(records: list[dict], n_folds: int = 4):
 
 
 def train_yolo(args, train_recs, seed: int = 0, eval_points=(), eval_hook=None):
-    """Train YOLOv11 on ``train_recs``; returns (det_model, train_seconds).
+    """Train the detector family on ``train_recs``; returns
+    (det_model, train_seconds). ``args.model`` picks yolo (default) or scrfd
+    — both ride the same staged scan-on-device loop (scrfd injects its loss
+    into the shared body, train/scrfd_train.make_scrfd_staged_loop).
 
     ``eval_points``: ascending step counts at which ``eval_hook(step, det)``
     is called with a detector wrapping the CURRENT weights (used by the CV
     mode to score several step budgets in one run)."""
+    import dataclasses as _dc
+
     import jax
     import jax.numpy as jnp
     import optax
 
-    from facedet_tpu.engine.detector import YoloV11PoseDetectionModel
-    from facedet_tpu.models.yolov11 import YoloConfig, YoloV11
-    from facedet_tpu.train.yolo_train import make_train_step
+    family = getattr(args, "model", "yolo")
+    if family == "scrfd":
+        from facedet_tpu.engine.scrfd_wrapper import ScrfdDetectionModel
+        from facedet_tpu.models.scrfd import SCRFD_VARIANTS, Scrfd
 
-    cfg = YoloConfig(scale=args.scale, num_classes=1, with_pose=True)
-    model = YoloV11(cfg)
+        variant = (args.variant if args.variant in SCRFD_VARIANTS
+                   else "scrfd_2.5g")
+        cfg = _dc.replace(SCRFD_VARIANTS[variant], dtype="float32")
+        model = Scrfd(cfg)
+    else:
+        from facedet_tpu.models.yolov11 import YoloConfig, YoloV11
+
+        cfg = YoloConfig(scale=args.scale, num_classes=1, with_pose=True)
+        model = YoloV11(cfg)
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         variables = model.init(
             jax.random.PRNGKey(seed), jnp.zeros((1, args.size, args.size, 3)),
@@ -285,10 +298,19 @@ def train_yolo(args, train_recs, seed: int = 0, eval_points=(), eval_hook=None):
     opt_state = tx.init(params)
 
     def make_det(p, bs):
-        det = YoloV11PoseDetectionModel(
-            scale=args.scale, dtype="bfloat16", confidence_threshold=0.25,
-            image_size=args.size, load_at_init=False,
-        )
+        if family == "scrfd":
+            det = ScrfdDetectionModel(
+                variant=variant, dtype="float32", confidence_threshold=0.25,
+                image_size=args.size, load_at_init=False,
+            )
+            det._onnx = None
+        else:
+            from facedet_tpu.engine.detector import YoloV11PoseDetectionModel
+
+            det = YoloV11PoseDetectionModel(
+                scale=args.scale, dtype="bfloat16", confidence_threshold=0.25,
+                image_size=args.size, load_at_init=False,
+            )
         det.cfg = cfg
         det.model = model
         det.variables = {"params": p, "batch_stats": bs}
@@ -308,7 +330,12 @@ def train_yolo(args, train_recs, seed: int = 0, eval_points=(), eval_hook=None):
     ema = None
     t0 = time.perf_counter()
     if args.staged:
-        from facedet_tpu.train.yolo_train import make_staged_train_loop
+        if family == "scrfd":
+            from facedet_tpu.train.scrfd_train import (
+                make_scrfd_staged_loop as make_staged_train_loop,
+            )
+        else:
+            from facedet_tpu.train.yolo_train import make_staged_train_loop
 
         batches = [
             sample_batch(train_recs, rng, args.batch, args.size, max_boxes,
@@ -354,6 +381,12 @@ def train_yolo(args, train_recs, seed: int = 0, eval_points=(), eval_hook=None):
                 eval_hook(evals.pop(0),
                           make_det(ema if ema is not None else params, batch_stats))
     else:
+        if family == "scrfd":
+            from facedet_tpu.train.scrfd_train import (
+                make_scrfd_train_step as make_train_step,
+            )
+        else:
+            from facedet_tpu.train.yolo_train import make_train_step
         step = make_train_step(model, tx)
         to_f32 = jax.jit(lambda u: u.astype(jnp.float32) / 255.0)
         for it in range(args.steps):
@@ -381,6 +414,13 @@ def train_yolo(args, train_recs, seed: int = 0, eval_points=(), eval_hook=None):
     train_s = time.perf_counter() - t0
     final = ema if ema is not None else params
     return make_det(final, batch_stats), train_s
+
+
+def _ckpt_stem(args) -> str:
+    if getattr(args, "model", "yolo") == "scrfd":
+        v = args.variant if args.variant.startswith("scrfd") else "scrfd_2.5g"
+        return v.replace(".", "_")
+    return f"yolo11{args.scale}"
 
 
 def main_cv(args, records, goldens, keypoints):
@@ -444,7 +484,7 @@ def main_cv(args, records, goldens, keypoints):
     args.steps = best_steps
     det, train_s = train_yolo(args, records, seed=101)
     os.makedirs(args.out_dir, exist_ok=True)
-    ckpt = os.path.join(args.out_dir, f"yolo11{args.scale}_golden_cv.npz")
+    ckpt = os.path.join(args.out_dir, f"{_ckpt_stem(args)}_golden_cv.npz")
     save_params_npz(ckpt, det.variables)
     full = parity_on_split(det, goldens, records, args.ref_dir,
                            args.conf, args.iou, keypoints=keypoints)
@@ -494,7 +534,7 @@ def main(argv=None):
                     help="probability of a 4-quadrant mosaic sample (yolo path)")
     ap.add_argument("--no-jitter", action="store_true",
                     help="disable photometric jitter (yolo path)")
-    ap.add_argument("--model", choices=("yolo", "rtdetr"), default="yolo",
+    ap.add_argument("--model", choices=("yolo", "rtdetr", "scrfd"), default="yolo",
                     help="rtdetr = pipeline-v3 analog: CDN-trained RT-DETR "
                     "on the golden images (staged loop only)")
     ap.add_argument("--variant", default="rtdetr-m",
@@ -560,7 +600,7 @@ def main(argv=None):
     print(f"trained {args.steps} steps in {train_s:.1f}s")
 
     os.makedirs(args.out_dir, exist_ok=True)
-    ckpt = os.path.join(args.out_dir, f"yolo11{args.scale}_golden.npz")
+    ckpt = os.path.join(args.out_dir, f"{_ckpt_stem(args)}_golden.npz")
     save_params_npz(ckpt, det.variables)
     print(f"saved {ckpt}")
 

@@ -23,7 +23,7 @@ import optax
 from facedet_tpu.models.scrfd import NUM_ANCHORS, STRIDES
 from facedet_tpu.train.yolo_train import _iou_xyxy, tal_assign
 
-__all__ = ["scrfd_loss", "make_scrfd_train_step"]
+__all__ = ["scrfd_loss", "make_scrfd_train_step", "make_scrfd_staged_loop"]
 
 
 def _flat_centers(level_shapes: list[tuple[int, int]]):
@@ -144,3 +144,24 @@ def make_scrfd_train_step(model, tx: optax.GradientTransformation):
         return params, new_bs, opt_state, loss, parts
 
     return step
+
+
+def make_scrfd_staged_loop(
+    model,
+    tx: optax.GradientTransformation,
+    steps_per_dispatch: int = 100,
+    flip: bool = True,
+):
+    """Scan-on-device SCRFD training: ``steps_per_dispatch`` optimizer steps
+    per dispatch over HBM-resident uint8 batches, with the same on-device
+    h-flip augmentation (5-kpt left/right permute included) as the YOLO
+    staged loop — it IS the YOLO loop body with ``scrfd_loss`` injected
+    (train/yolo_train.py::_staged_run_fn), so the golden fine-tune's
+    host-RTT economics (CLAUDE.md: ~1.2 s/step host-fed) carry over.
+
+    Returned ``run(params, batch_stats, opt_state, images_u8, gt_boxes,
+    gt_mask, gt_kpts, start, key)`` matches ``make_staged_train_loop``'s."""
+    from facedet_tpu.train.yolo_train import _staged_run_fn
+
+    return jax.jit(_staged_run_fn(model, tx, steps_per_dispatch, flip,
+                                  loss=scrfd_loss))

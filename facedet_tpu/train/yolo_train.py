@@ -374,9 +374,12 @@ def make_staged_train_loop(
     return run
 
 
-def _staged_run_fn(model, tx, steps_per_dispatch, flip):
+def _staged_run_fn(model, tx, steps_per_dispatch, flip, loss=None):
     """Un-jitted scan-on-device run body shared by the single-device and
-    mesh-sharded staged loops."""
+    mesh-sharded staged loops. ``loss`` is the per-batch loss callable
+    ``(outs, gt_boxes, gt_mask, gt_kpts) -> (total, parts)`` — defaults to
+    ``yolo_loss``; the SCRFD staged loop injects ``scrfd_loss`` here."""
+    loss = loss or yolo_loss
 
     def loss_fn(params, batch_stats, images, gt_boxes, gt_mask, gt_kpts):
         outs, mutated = model.apply(
@@ -385,7 +388,7 @@ def _staged_run_fn(model, tx, steps_per_dispatch, flip):
             train=True,
             mutable=["batch_stats"],
         )
-        total, parts = yolo_loss(outs, gt_boxes, gt_mask, gt_kpts)
+        total, parts = loss(outs, gt_boxes, gt_mask, gt_kpts)
         return total, (parts, mutated["batch_stats"])
 
     def run(params, batch_stats, opt_state, images_u8, gt_boxes, gt_mask,

@@ -302,3 +302,56 @@ def test_scrfd_loss_and_step_learns():
             first = float(loss)
         last = float(loss)
     assert np.isfinite(last) and last < first, (first, last)
+
+
+def test_scrfd_staged_loop_matches_stepwise():
+    """SCRFD staged scan-on-device dispatch (flip=False) == the same batches
+    through make_scrfd_train_step — the golden fine-tune's scrfd arm rides
+    the shared staged body with scrfd_loss injected."""
+    import dataclasses
+
+    import optax
+
+    from facedet_tpu.models.scrfd import SCRFD_VARIANTS, Scrfd
+    from facedet_tpu.train.scrfd_train import (
+        make_scrfd_staged_loop,
+        make_scrfd_train_step,
+    )
+
+    cfg = dataclasses.replace(
+        SCRFD_VARIANTS["scrfd_500m"],
+        stem=8, widths=(8, 12, 16, 24), depths=(1, 1, 1, 1), neck=16,
+        head_width=16, dtype="float32",
+    )
+    model = Scrfd(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    p0, bs0 = variables["params"], variables["batch_stats"]
+
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 255, (3, 2, 64, 64, 3)).astype(np.uint8)
+    boxes = jnp.asarray(
+        rng.uniform(4, 28, (3, 2, 2, 4)).astype(np.float32)
+    )
+    boxes = jnp.concatenate([boxes[..., :2], boxes[..., :2] + 16.0], -1)
+    mask = jnp.ones((3, 2, 2), bool)
+    kpts = jnp.zeros((3, 2, 2, 5, 3)).at[..., :2].set(12.0).at[..., 2].set(1.0)
+
+    tx = optax.sgd(1e-3)
+    opt0 = tx.init(p0)
+    run1 = make_scrfd_staged_loop(model, tx, steps_per_dispatch=1, flip=False)
+    p_a, bs_a, _, loss_a = run1(
+        p0, bs0, opt0, jnp.asarray(images), boxes, mask, kpts,
+        0, jax.random.PRNGKey(0),
+    )
+
+    step = make_scrfd_train_step(model, tx)
+    p_b, bs_b, _, loss_b, _ = step(
+        p0, bs0, opt0,
+        jnp.asarray(images[0]).astype(jnp.float32) / 255.0,
+        boxes[0], mask[0], kpts[0],
+    )
+    assert abs(float(loss_a) - float(loss_b)) < 1e-3
+    for a, b in zip(jax.tree_util.tree_leaves(p_a),
+                    jax.tree_util.tree_leaves(p_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
