@@ -28,7 +28,8 @@ EVENT = "golden"
 
 
 def build_widerface_layout(goldens: dict, ref_dir: str, work_dir: str,
-                           min_conf: float = 0.2) -> tuple[str, str]:
+                           min_conf: float = 0.2,
+                           blur_fn=None) -> tuple[str, str]:
     """Copy golden source JPEGs into ``<work>/images/golden/`` and write the
     bbx_gt-format ground-truth txt; returns (images_path, gt_txt_path).
 
@@ -37,7 +38,10 @@ def build_widerface_layout(goldens: dict, ref_dir: str, work_dir: str,
     were produced by a conf-0.01 eval sweep, so most of their "faces" are the
     reference's own sub-threshold dust, not operating-point detections —
     matching them is neither rewarded nor penalised (same filter as
-    tools/golden_finetune.py::load_golden_dataset)."""
+    tools/golden_finetune.py::load_golden_dataset).
+
+    ``blur_fn(image_u8, bbox_xyxy) -> int`` optionally supplies the bbx_gt
+    blur attribute per face (the dual evaluator's degraded flag); default 0."""
     images_dir = os.path.join(work_dir, "images", EVENT)
     os.makedirs(images_dir, exist_ok=True)
     lines = []
@@ -51,6 +55,11 @@ def build_widerface_layout(goldens: dict, ref_dir: str, work_dir: str,
         # photo, separately recovered detections)
         stem = name.replace("/", "__").replace(" ", "_")
         shutil.copyfile(src, os.path.join(images_dir, f"{stem}.jpg"))
+        img = None
+        if blur_fn is not None:
+            from facedet_tpu.data.native_loader import load_image
+
+            img = load_image(src)
         lines.append(f"{EVENT}/{stem}.jpg")
         lines.append(str(len(rec["faces"])))
         for f in rec["faces"]:
@@ -58,7 +67,8 @@ def build_widerface_layout(goldens: dict, ref_dir: str, work_dir: str,
             # bbx_gt columns: x y w h blur expression illumination invalid
             # occlusion pose — invalid=1 marks ignore regions
             inv = int(float(f.get("conf_hi", 1.0)) < min_conf)
-            lines.append(f"{x1} {y1} {x2 - x1} {y2 - y1} 0 0 0 {inv} 0 0")
+            blur = int(blur_fn(img, f["bbox"])) if blur_fn is not None else 0
+            lines.append(f"{x1} {y1} {x2 - x1} {y2 - y1} {blur} 0 0 {inv} 0 0")
         n_img += 1
     gt_txt = os.path.join(work_dir, "golden_bbx_gt.txt")
     with open(gt_txt, "w") as fh:

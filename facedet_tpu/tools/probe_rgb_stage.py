@@ -46,9 +46,11 @@ def kdiff(fn, args, k=9, rounds=5):
 
 
 def _mix_fma(yf, cb, cr, dt):
-    r = yf + jnp.asarray(1.402, dt) * cr
-    g = yf - jnp.asarray(0.344136286, dt) * cb - jnp.asarray(0.714136286, dt) * cr
-    b = yf + jnp.asarray(1.772, dt) * cb
+    # BT.601 coefficients taken from the production matrix so the FMA
+    # variants can never desynchronize from ops/color's conversion
+    r = yf + jnp.asarray(_INV[0, 2], dt) * cr
+    g = yf + jnp.asarray(_INV[1, 1], dt) * cb + jnp.asarray(_INV[1, 2], dt) * cr
+    b = yf + jnp.asarray(_INV[2, 1], dt) * cb
     return jnp.stack([r, g, b], axis=-1)
 
 
