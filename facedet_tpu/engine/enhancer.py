@@ -40,6 +40,53 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def plan_tile_grid(
+    h: int,
+    w: int,
+    tile: int = 400,
+    tile_pad: int = 10,
+    max_tiles_per_batch: int = 8,
+) -> tuple[int, int, int, int]:
+    """Choose a per-axis halo-tile grid (gh, gw, tile_h, tile_w) minimising
+    computed pixels for an [h, w] image.
+
+    On TPU the reason to tile is NOT CUDA OOM (the reference's constraint,
+    utils/enhancer.py:216-229) but the axon compile-service's program-size
+    ceiling: the proven-good dispatch is 8 x (400+2*10)^2 halo windows
+    (BENCH.md round-4 SR block; batches >= 12 at that window are rejected).
+    That product — max_tiles_per_batch * (tile + 2*tile_pad)^2 pixels per
+    dispatch — is the budget here. The reference's fixed square grid wastes
+    up to 1.8x FLOPs at serving shapes (512x768 -> grid-padded to 800x800 ->
+    4 x 420^2 = 1.79x the real pixels); this planner instead picks the
+    fewest/cheapest per-axis tiles whose windows fit the budget: a 512x768
+    image runs as ONE window with zero halo.
+
+    Tile dims are rounded up to multiples of 8 (sublane alignment; also keeps
+    halo windows even for the x2 net's pixel-unshuffle)."""
+    budget = max_tiles_per_batch * (tile + 2 * tile_pad) ** 2
+    best = None
+    gh_max = max(1, -(-h // 64))
+    gw_max = max(1, -(-w // 64))
+    for gh in range(1, gh_max + 1):
+        th = h if gh == 1 else _ceil_to(-(-h // gh), 8)
+        win_h = th + (2 * tile_pad if gh > 1 else 0)
+        for gw in range(1, gw_max + 1):
+            tw = w if gw == 1 else _ceil_to(-(-w // gw), 8)
+            win_w = tw + (2 * tile_pad if gw > 1 else 0)
+            g = gh * gw
+            chunk = min(max_tiles_per_batch, g)
+            if chunk * win_h * win_w > budget:
+                continue
+            n_chunks = -(-g // chunk)
+            cost = n_chunks * chunk * win_h * win_w  # incl. chunk-pad tiles
+            key = (cost, g, abs(win_h - win_w))
+            if best is None or key < best[0]:
+                best = (key, (gh, gw, th, tw))
+    if best is None:  # budget smaller than any window: legacy square grid
+        return -(-h // tile), -(-w // tile), tile, tile
+    return best[1]
+
+
 def tiled_sr(
     fn: Callable[[jax.Array], jax.Array],
     image: jax.Array,
@@ -51,29 +98,35 @@ def tiled_sr(
     """Run SR function ``fn`` ([B,h,w,3] -> [B,h*scale,w*scale,3]) over a halo-
     padded static tile grid of ``image`` [H,W,3]; returns [H*scale, W*scale, 3].
 
-    Tiles are processed in fixed-size sub-batches via ``lax.map`` — one compile,
-    one dispatch, bounded activation memory. Measured on the v5e: batch 8
-    runs at 2x the MFU of batch 4 (180 vs 430 ms/tile -- per-conv fixed costs
-    amortise over more spatial work); the axon remote-compile service rejects
-    batches >= 12 at 420-pixel windows, so 8 is the production setting. This
+    The grid comes from :func:`plan_tile_grid` — fewest per-axis tiles whose
+    halo windows fit the proven per-dispatch pixel budget (whole-image when it
+    fits, replacing the reference's fixed square grid and its up-to-1.8x
+    grid-pad + halo FLOPs waste). Tiles are processed in fixed-size
+    sub-batches via ``lax.map`` — one compile, one dispatch, bounded
+    activation memory. Measured on the v5e: batch 8 runs at 2x the MFU of
+    batch 4 (per-conv fixed costs amortise over more spatial work). This
     deterministic memory plan replaces the reference's CUDA-OOM
     halve-and-retry (utils/enhancer.py:216-229)."""
     h, w = image.shape[0], image.shape[1]
-    if tile <= 0 or (h <= tile and w <= tile):
+    if tile <= 0:
         return fn(image[None])[0]
-    gh, gw = -(-h // tile), -(-w // tile)
-    ph, pw = gh * tile, gw * tile
+    gh, gw, th, tw = plan_tile_grid(h, w, tile, tile_pad, max_tiles_per_batch)
+    if gh == 1 and gw == 1 and th == h and tw == w:
+        return fn(image[None])[0]
+    ph_pad = tile_pad if gh > 1 else 0
+    pw_pad = tile_pad if gw > 1 else 0
+    ph, pw = gh * th, gw * tw
     padded = jnp.pad(
         image,
-        ((tile_pad, ph - h + tile_pad), (tile_pad, pw - w + tile_pad), (0, 0)),
+        ((ph_pad, ph - h + ph_pad), (pw_pad, pw - w + pw_pad), (0, 0)),
         mode="reflect",
     )
-    win = tile + 2 * tile_pad
+    win_h, win_w = th + 2 * ph_pad, tw + 2 * pw_pad
     offs = jnp.asarray(
-        [(i * tile, j * tile) for i in range(gh) for j in range(gw)], jnp.int32
+        [(i * th, j * tw) for i in range(gh) for j in range(gw)], jnp.int32
     )
     tiles = jax.vmap(
-        lambda o: jax.lax.dynamic_slice(padded, (o[0], o[1], 0), (win, win, 3))
+        lambda o: jax.lax.dynamic_slice(padded, (o[0], o[1], 0), (win_h, win_w, 3))
     )(offs)
     g = tiles.shape[0]
     chunk = min(max_tiles_per_batch, g)
@@ -81,13 +134,13 @@ def tiled_sr(
     if n_chunks > 1:
         pad_g = n_chunks * chunk - g
         tiles = jnp.pad(tiles, ((0, pad_g), (0, 0), (0, 0), (0, 0)))
-        out = jax.lax.map(fn, tiles.reshape(n_chunks, chunk, win, win, 3))
-        out = out.reshape(n_chunks * chunk, win * scale, win * scale, 3)[:g]
+        out = jax.lax.map(fn, tiles.reshape(n_chunks, chunk, win_h, win_w, 3))
+        out = out.reshape(n_chunks * chunk, win_h * scale, win_w * scale, 3)[:g]
     else:
-        out = fn(tiles)  # [G, win*s, win*s, 3]
-    p = tile_pad * scale
-    core = out[:, p : p + tile * scale, p : p + tile * scale, :]
-    core = core.reshape(gh, gw, tile * scale, tile * scale, 3)
+        out = fn(tiles)  # [G, win_h*s, win_w*s, 3]
+    py, px = ph_pad * scale, pw_pad * scale
+    core = out[:, py : py + th * scale, px : px + tw * scale, :]
+    core = core.reshape(gh, gw, th * scale, tw * scale, 3)
     full = core.transpose(0, 2, 1, 3, 4).reshape(ph * scale, pw * scale, 3)
     return full[: h * scale, : w * scale]
 

@@ -92,9 +92,14 @@ def main(argv=None):
     ap.add_argument("--min-conf", type=float, default=0.2,
                     help="golden faces below this recorded confidence are "
                     "written as invalid=1 (official ignore regions)")
+    ap.add_argument("--model", choices=("yolo", "scrfd"), default="yolo",
+                    help="detector family; scrfd = the RetinaFace arm "
+                    "(reference utils/insightface_wrapper.py:38-60, AP table "
+                    "pipeline_v1_detection_first/retinaface_map_scores.txt)")
+    ap.add_argument("--variant", default="scrfd_2.5g",
+                    help="SCRFD_VARIANTS key for --model scrfd")
     args = ap.parse_args(argv)
 
-    from facedet_tpu.engine.detector import YoloV11PoseDetectionModel
     from facedet_tpu.eval.widerface_official import OfficialWiderFaceEvaluator
     from facedet_tpu.utils.cache import enable_compilation_cache
 
@@ -105,14 +110,24 @@ def main(argv=None):
         goldens, args.ref_dir, args.work_dir, min_conf=args.min_conf
     )
 
-    model = YoloV11PoseDetectionModel(
-        model_path=args.weights, scale=args.scale, dtype="bfloat16",
-        # f32 BN: committed official-eval artifacts stay reproducible across
-        # serving-dtype defaults (serving uses bf16 BN)
-        bn_dtype="float32",
-        confidence_threshold=0.25, image_size=args.imgsz,
-    )
-    summary = {"weights": args.weights, "modes": {}}
+    if args.model == "scrfd":
+        from facedet_tpu.engine.scrfd_wrapper import ScrfdDetectionModel
+
+        model = ScrfdDetectionModel(
+            model_path=args.weights, variant=args.variant, dtype="float32",
+            confidence_threshold=0.25, image_size=args.imgsz,
+        )
+    else:
+        from facedet_tpu.engine.detector import YoloV11PoseDetectionModel
+
+        model = YoloV11PoseDetectionModel(
+            model_path=args.weights, scale=args.scale, dtype="bfloat16",
+            # f32 BN: committed official-eval artifacts stay reproducible
+            # across serving-dtype defaults (serving uses bf16 BN)
+            bn_dtype="float32",
+            confidence_threshold=0.25, image_size=args.imgsz,
+        )
+    summary = {"weights": args.weights, "model": args.model, "modes": {}}
     for mode in args.modes.split(","):
         ev = OfficialWiderFaceEvaluator(
             model,

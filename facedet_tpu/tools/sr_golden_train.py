@@ -270,6 +270,13 @@ def main(argv=None):
                     help="adversarial fine-tune steps after (or instead of) "
                          "the L1 phase — Real-ESRGAN's GAN arm (train/sr_gan.py)")
     ap.add_argument("--gan-adv-weight", type=float, default=0.1)
+    ap.add_argument("--gan-percep-weight", type=float, default=0.0,
+                    help="LPIPS-style feature-distance weight from the golden "
+                         "YOLO backbone (train/perceptual.py; Real-ESRGAN "
+                         "uses 1.0 for its VGG term)")
+    ap.add_argument("--percep-from", default=None,
+                    help="feature-extractor checkpoint (default: the "
+                         "committed golden YOLO)")
     ap.add_argument("--gan-lr", type=float, default=1e-4)
     ap.add_argument("--init-from", default=None,
                     help="warm-start G from this .npz (skips the L1 phase "
@@ -412,15 +419,29 @@ def main(argv=None):
             # GAN phase re-seeds the EMA from the L1 solution: the adversarial
             # walk is what we want averaged, not the L1 trajectory
             ema = jax.tree.map(lambda x: x, variables)
+            percep_fn = None
+            if args.gan_percep_weight > 0:
+                from facedet_tpu.train.perceptual import (
+                    GOLDEN_YOLO, make_yolo_feature_loss,
+                )
+
+                percep_fn = make_yolo_feature_loss(
+                    args.percep_from or GOLDEN_YOLO
+                )
+                print(f"perceptual term: golden YOLO features x "
+                      f"{args.gan_percep_weight}")
             gan_run = make_sr_gan_staged_loop(
                 model, d_model, g_tx, d_tx,
                 steps_per_dispatch=args.staged,
                 adv_weight=args.gan_adv_weight,
+                percep_fn=percep_fn,
+                percep_weight=args.gan_percep_weight,
             )
             t0 = time.time()
             done = 0
             report["gan"] = {"steps": args.gan_steps,
                              "adv_weight": args.gan_adv_weight,
+                             "percep_weight": args.gan_percep_weight,
                              "lr": args.gan_lr}
             while done < args.gan_steps:
                 variables, ema, g_opt, d_params, d_stats, d_opt, metrics = (
@@ -434,6 +455,7 @@ def main(argv=None):
                 print(f"gan step {min(done, args.gan_steps)}/{args.gan_steps} "
                       f"pixel {float(metrics['pixel']):.4f} "
                       f"adv {float(metrics['adv']):.4f} "
+                      f"percep {float(metrics['percep']):.4f} "
                       f"d {float(metrics['d']):.4f} "
                       f"({time.time() - t0:.0f}s)", flush=True)
             report["gan"]["seconds"] = round(time.time() - t0, 1)

@@ -10,9 +10,11 @@ module is the TPU-native equivalent:
   smaller than the paper's UNet-SN but the same local-texture pressure, and
   every stage is an MXU conv.
 - **Losses**: non-saturating logistic GAN (softplus form) + charbonnier pixel
-  loss, Real-ESRGAN's weighting shape (pixel 1.0, adversarial 0.1). The
-  paper's VGG perceptual term is unavailable (zero egress: no VGG weights),
-  so it is optional and unused.
+  loss, Real-ESRGAN's weighting shape (pixel 1.0, perceptual 1.0,
+  adversarial 0.1). The paper's VGG perceptual term is self-hosted: the
+  golden-trained YOLO backbone supplies the deep features
+  (train/perceptual.make_yolo_feature_loss) — zero egress blocks VGG
+  weights, but the repo owns a face-trained conv pyramid of its own.
 - **Staged on-device loop**: both optimizers step inside one
   ``lax.fori_loop`` over HBM-resident uint8 batches, G under an EMA shadow —
   same pattern as ``sr_train.make_sr_staged_loop`` (host-fed stepping pays
@@ -72,13 +74,19 @@ def make_sr_gan_staged_loop(
     adv_weight: float = 0.1,
     ema_decay: float = 0.999,
     flip: bool = True,
+    percep_fn=None,
+    percep_weight: float = 1.0,
 ):
     """Joint G/D scan-on-device loop.
 
     ``run(g_vars, g_ema, g_opt, d_vars, d_opt, lr_u8, hr_u8, start, key) ->
     (g_vars, g_ema, g_opt, d_vars, d_opt, metrics)`` where metrics is a dict
     of mean losses. ``start`` is the global step already taken (round-robin
-    batch indexing + EMA warmup, as in make_sr_staged_loop)."""
+    batch indexing + EMA warmup, as in make_sr_staged_loop).
+
+    ``percep_fn(fake, hr) -> scalar`` adds Real-ESRGAN's perceptual term
+    (train/perceptual.make_yolo_feature_loss — the self-hosted VGG stand-in);
+    gradients flow through activations only."""
 
     def d_infer(d_params, d_stats, x):
         # frozen power-iteration stats: used inside the G step
@@ -91,7 +99,12 @@ def make_sr_gan_staged_loop(
         pix = sr_loss(fake, hr)
         logits = d_infer(d_params, d_stats, fake)
         adv = jnp.mean(jax.nn.softplus(-logits))  # non-saturating G loss
-        return pixel_weight * pix + adv_weight * adv, (pix, adv, fake)
+        total = pixel_weight * pix + adv_weight * adv
+        per = jnp.float32(0.0)
+        if percep_fn is not None:
+            per = percep_fn(fake, hr)
+            total = total + percep_weight * per
+        return total, (pix, adv, per, fake)
 
     def d_loss_fn(d_params, d_stats, real, fake):
         real_logits, aux = d_model.apply(
@@ -126,7 +139,7 @@ def make_sr_gan_staged_loop(
                 hr = jnp.where(fl, hr[:, :, ::-1, :], hr)
 
             # G step (D frozen)
-            (_gl, (pix, adv, fake)), g_grads = jax.value_and_grad(
+            (_gl, (pix, adv, per, fake)), g_grads = jax.value_and_grad(
                 g_loss_fn, has_aux=True
             )(g_vars, d_params, d_stats, lr, hr)
             g_updates, g_opt = g_tx.update(g_grads, g_opt, g_vars)
@@ -147,6 +160,7 @@ def make_sr_gan_staged_loop(
             sums = {
                 "pixel": sums["pixel"] + pix,
                 "adv": sums["adv"] + adv,
+                "percep": sums["percep"] + per,
                 "d": sums["d"] + dl,
             }
             return g_vars, g_ema, g_opt, d_params, d_stats, d_opt, sums
@@ -156,7 +170,7 @@ def make_sr_gan_staged_loop(
             jax.lax.fori_loop(
                 0, steps_per_dispatch, body,
                 (g_vars, g_ema, g_opt, d_params, d_stats, d_opt,
-                 {"pixel": zero, "adv": zero, "d": zero}),
+                 {"pixel": zero, "adv": zero, "percep": zero, "d": zero}),
             )
         )
         metrics = {k: v / steps_per_dispatch for k, v in sums.items()}

@@ -207,3 +207,52 @@ def test_enhance_to_jpeg_sparse_fetch_matches_dense(tmp_path):
     b = np.asarray(Image.open(out_sparse).convert("RGB"))
     assert a.shape == b.shape == (160, 192, 3)
     np.testing.assert_array_equal(a, b)
+
+
+def test_plan_tile_grid_budget_and_waste():
+    from facedet_tpu.engine.enhancer import plan_tile_grid
+
+    # the r4 bench shape: must be a single no-halo window (the fixed square
+    # grid computed 4 x 420^2 = 1.79x the image pixels)
+    assert plan_tile_grid(512, 768, 400, 10, 8) == (1, 1, 512, 768)
+    budget = 8 * 420 * 420
+    for h, w in [(512, 768), (1024, 1536), (2340, 4160), (400, 400), (50, 70)]:
+        gh, gw, th, tw = plan_tile_grid(h, w, 400, 10, 8)
+        win_h = th + (20 if gh > 1 else 0)
+        win_w = tw + (20 if gw > 1 else 0)
+        g = gh * gw
+        assert min(8, g) * win_h * win_w <= budget
+        assert gh * th >= h and gw * tw >= w
+        # never worse than the legacy square plan's computed pixels
+        lgh, lgw = -(-h // 400), -(-w // 400)
+        legacy = lgh * lgw * 420 * 420 if (h > 400 or w > 400) else h * w
+        n_chunks = -(-g // min(8, g))
+        cost = n_chunks * min(8, g) * win_h * win_w
+        assert cost <= max(legacy, h * w)
+
+
+def test_tiled_sr_multi_tile_exact():
+    # force a multi-tile plan with a tiny budget; 3x3 mean filter's 1px
+    # receptive field <= tile_pad so seams must be exact
+    def fn(x):
+        k = jnp.ones((3, 3, 3, 3)) / 9.0 * jnp.eye(3)[None, None]
+        y = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        b, h, w, c = y.shape
+        y = jnp.broadcast_to(y[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+        return y.reshape(b, 2 * h, 2 * w, c)
+
+    from facedet_tpu.engine.enhancer import plan_tile_grid
+
+    img = jax.random.uniform(jax.random.PRNGKey(2), (90, 120, 3))
+    gh, gw, th, tw = plan_tile_grid(90, 120, tile=32, tile_pad=4,
+                                    max_tiles_per_batch=2)
+    assert gh * gw > 1  # the tiny budget actually forces tiling
+    full = fn(img[None])[0]
+    tiled = tiled_sr(fn, img, scale=2, tile=32, tile_pad=4,
+                     max_tiles_per_batch=2)
+    assert tiled.shape == full.shape == (180, 240, 3)
+    np.testing.assert_allclose(
+        np.asarray(tiled)[8:-8, 8:-8], np.asarray(full)[8:-8, 8:-8], atol=1e-5
+    )

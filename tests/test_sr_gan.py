@@ -76,3 +76,43 @@ def test_gan_loop_resumes_at_global_step():
     out2 = run(*out1[:6], lr_u8, hr_u8, jnp.int32(3), jax.random.PRNGKey(2))
     m1, m2 = out1[-1], out2[-1]
     assert float(m1["pixel"]) != float(m2["pixel"])
+
+
+def test_perceptual_feature_loss_from_golden_yolo():
+    """LPIPS-style distance from the golden YOLO backbone: zero at identity,
+    positive and differentiable for distinct images (VERDICT r4 #3)."""
+    from facedet_tpu.train.perceptual import make_yolo_feature_loss
+
+    loss = make_yolo_feature_loss()
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    assert float(loss(a, a)) < 1e-6
+    d_ab = float(loss(a, b))
+    assert d_ab > 1e-4 and np.isfinite(d_ab)
+    # blurred-vs-sharp must register (the perceptual term's whole job)
+    blur = (a + jnp.roll(a, 1, 1) + jnp.roll(a, 1, 2) + jnp.roll(a, -1, 1)) / 4
+    assert float(loss(a, blur)) > 1e-5
+    g = jax.grad(lambda x: loss(x, b))(a)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_gan_loop_with_perceptual_term():
+    g, gv, d, dv, g_tx, d_tx, lr_u8, hr_u8 = _setup()
+
+    # a cheap stand-in extractor keeps the test fast; the real extractor is
+    # covered by test_perceptual_feature_loss_from_golden_yolo
+    def percep(a, b):
+        return jnp.mean(jnp.square(a - b)) * 2.0
+
+    run = make_sr_gan_staged_loop(
+        g, d, g_tx, d_tx, steps_per_dispatch=2, percep_fn=percep,
+        percep_weight=0.5,
+    )
+    out = run(
+        gv, gv, g_tx.init(gv), dv["params"], dv.get("batch_stats", {}),
+        d_tx.init(dv["params"]), lr_u8, hr_u8, jnp.int32(0),
+        jax.random.PRNGKey(2),
+    )
+    metrics = out[-1]
+    assert float(metrics["percep"]) > 0 and np.isfinite(float(metrics["percep"]))
