@@ -382,6 +382,44 @@ def _sr_accounting(image_hw=(512, 768), n_timed: int = 3):
     }
 
 
+def _v2_accounting(model, image_hw=(512, 768), n_timed: int = 4):
+    """Pipeline-v2 serving block (VERDICT r4 #6): whole-image x2 SR ->
+    device-resident hand-off -> SAHI on the enhanced canvas -> boxes / scale
+    (reference pipeline_v2_enhancement_first/app_v2.py:19-45,131-154, with
+    the reference's fixed-grid slice policy). Measured end-to-end through
+    ``enhance_first_pipeline`` on the same natural-statistics image as the
+    SR block; x2 of 512x768 lands on the detection bench's 1024x1536
+    canvas."""
+    from facedet_tpu.engine.enhancer import FaceEnhancer, _golden_ckpt_path
+    from facedet_tpu.engine.pipelines import enhance_first_pipeline
+
+    ckpt = _golden_ckpt_path("RealESRGAN_x2plus")
+    enh = FaceEnhancer(
+        model_name="RealESRGAN_x2plus",
+        outscale=2.0, tile=400, tile_pad=10, half=True,
+    )
+    img = _make_image(*image_hw)
+    enhance_first_pipeline(img, model, enh)  # compile + warm
+    lat = []
+    res = None
+    for _ in range(n_timed):
+        t0 = time.perf_counter()
+        res = enhance_first_pipeline(img, model, enh)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    return {
+        "v2_images_per_sec": round(1.0 / p50, 3),
+        "v2_p50_latency_s": round(p50, 4),
+        "v2_enhance_s": round(
+            res.durations_in_seconds.get("enhance", 0.0), 4
+        ),
+        "v2_scale": 2, "v2_input_hw": list(image_hw),
+        "v2_slice_policy": "fixed_grid",
+        "v2_weights": os.path.basename(ckpt) if ckpt else "random_init",
+    }
+
+
 def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int = 64,
               ingest: str = "dct420s", int8: bool = False):
     """bsz=64: the measured serving sweet spot on the tunneled v5e — dispatch
@@ -524,6 +562,12 @@ def run_bench(num_images: int, image_hw=(1024, 1536), warmup: int = 2, bsz: int 
         _PROGRESS["extras"].update(_sr_accounting())
     except Exception as e:
         _PROGRESS["extras"]["sr_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+
+    # pipeline-v2 serving block (enhance-first composition, VERDICT r4 #6)
+    try:
+        _PROGRESS["extras"].update(_v2_accounting(model))
+    except Exception as e:
+        _PROGRESS["extras"]["v2_error"] = f"{type(e).__name__}: {str(e)[:120]}"
 
     return ips, p50, _PROGRESS["extras"]
 
