@@ -14,6 +14,7 @@ or ``None`` for random initialisation (benchmarks / tests).
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Any, Optional
 
@@ -67,6 +68,9 @@ def save_params_npz(path: str, variables: dict, half: bool = False) -> None:
             flat[prefix] = arr
 
     walk(variables, "")
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)  # a 10-min trained EMA must never
+    # die on a missing output directory (it did once)
     (np.savez_compressed if half else np.savez)(path, **flat)
 
 

@@ -114,6 +114,11 @@ def test_half_npz_roundtrip(tmp_path):
     assert np.asarray(w["batch_stats"]["count"]).dtype == np.int32
     np.testing.assert_allclose(w["params"]["w"], v["params"]["w"], atol=2e-3)
     assert int(w["batch_stats"]["count"][0]) == 7
+    # missing parent directories are created (a 10-min TPU-trained EMA once
+    # died on FileNotFoundError at the save)
+    p2 = str(tmp_path / "no" / "such" / "dir" / "ckpt.npz")
+    save_params_npz(p2, v)
+    assert os.path.exists(p2)
 
 
 GOLDEN_CKPT = os.path.join(
