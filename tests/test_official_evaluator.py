@@ -263,3 +263,50 @@ def test_official_evaluator_dct420s_ingest(tmp_path):
             model, images_path="", gt_txt=str(gt_txt),
             use_sahi=False, ingest="dct420s",
         )
+
+
+def test_golden_dual_eval_subcategory_gt(tmp_path):
+    """The dual-eval GT builder classifies recovered faces by size and by
+    the variance-of-Laplacian blur flag (sharp texture -> clear, flat or
+    tiny crops -> degraded), and the blur_fn hook rides the bbx_gt blur
+    column (tools/golden_dual_eval.py, VERDICT r4 #5)."""
+    import PIL.Image
+
+    from facedet_tpu.tools.golden_dual_eval import (
+        build_golden_subcategory_gt,
+        laplacian_blur_flag,
+    )
+
+    rng = np.random.default_rng(0)
+    img = np.full((256, 256, 3), 128, np.uint8)
+    img[8:72, 8:72] = rng.integers(0, 256, (64, 64, 3))  # sharp large face
+    # [100:160] region left flat -> blurred medium face
+    ref = tmp_path / "ref" / "dir_a"
+    ref.mkdir(parents=True)
+    PIL.Image.fromarray(img).save(ref / "temp_sahi_input.jpg", quality=98)
+
+    assert laplacian_blur_flag(img, (8, 8, 72, 72)) == 0       # sharp
+    assert laplacian_blur_flag(img, (100, 100, 140, 140)) == 1  # flat
+    assert laplacian_blur_flag(img, (0, 0, 5, 5)) == 1          # tiny
+
+    goldens = {
+        "images": {
+            "dir_a": {
+                "faces": [
+                    {"bbox": [8, 8, 208, 208], "conf_hi": 0.9},     # large sharp
+                    {"bbox": [100, 100, 160, 160], "conf_hi": 0.9},  # medium flat
+                    {"bbox": [4, 4, 14, 14], "conf_hi": 0.05},       # ignore dust
+                ]
+            }
+        }
+    }
+    _, data, stats = build_golden_subcategory_gt(
+        goldens, str(tmp_path / "ref"), str(tmp_path / "work")
+    )
+    entry = data["golden/dir_a.jpg"]
+    cats = [f["category"] for f in entry["all_faces"]]
+    assert cats[0] == "large_clear"
+    assert cats[1] == "medium_degraded"
+    assert cats[2] is None  # invalid=1 dust drops out of every category
+    assert stats["per_category"]["large_clear"]["count"] == 1
+    assert stats["invalid_faces"] == 1
