@@ -154,7 +154,16 @@ _SIZE_BUCKETS = (32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
 _GOLDEN_CKPTS = {
     "RealESRGAN_x4plus": "rrdb_x4gan_golden.npz",
     "RealESRGAN_x2plus": "rrdb_x2_golden.npz",
+    "RealESRGAN_x4cascade": "rrdb_x2_golden.npz",
 }
+
+# Names that run the x2 net TWICE for a 4x output instead of a single-pass
+# x4 net. Real-ESRGANer itself decouples model scale from outscale
+# (reference utils/enhancer.py:189 netscale vs outscale, resolved by resize);
+# the cascade resolves it by a second restoration pass instead — measured
+# as the only x4 arm whose crops beat the originals on the IQA table
+# (eval/assets/sr_x4cascade_report.json).
+_CASCADE_ALIASES = {"RealESRGAN_x4cascade": "RealESRGAN_x2plus"}
 
 
 def _golden_ckpt_path(model_name: str) -> Optional[str]:
@@ -195,13 +204,18 @@ class FaceEnhancer:
         device: Optional[str] = None,
         cfg: Optional[RRDBConfig] = None,
         max_tiles_per_batch: int = 8,
+        cascade: bool = False,
     ):
+        if model_name in _CASCADE_ALIASES:
+            cascade = True
         if cfg is None:
-            if model_name not in MODEL_CATALOG:
+            catalog_name = _CASCADE_ALIASES.get(model_name, model_name)
+            if catalog_name not in MODEL_CATALOG:
                 raise ValueError(
-                    f"unknown model {model_name!r}; available: {list(MODEL_CATALOG)}"
+                    f"unknown model {model_name!r}; available: "
+                    f"{list(MODEL_CATALOG) + list(_CASCADE_ALIASES)}"
                 )
-            cfg = MODEL_CATALOG[model_name]
+            cfg = MODEL_CATALOG[catalog_name]
             if model_path is None:
                 model_path = _golden_ckpt_path(model_name)
                 if model_path:
@@ -218,6 +232,7 @@ class FaceEnhancer:
             cfg = dataclasses.replace(cfg, dtype="bfloat16")
         self.cfg = cfg
         self.model_name = model_name
+        self.cascade = bool(cascade)
         self.outscale = float(outscale)
         self.tile = tile
         self.tile_pad = tile_pad
@@ -250,11 +265,16 @@ class FaceEnhancer:
         """ONE jitted function for the whole tiled SR of an (h, w) image —
         eager per-stage dispatch costs seconds over a remote TPU link."""
         cache = self.__dict__.setdefault("_enh_cache", {})
-        key = (h, w, outscale, self.tile, self.tile_pad)
+        key = (h, w, outscale, self.tile, self.tile_pad, self.cascade)
         if key in cache:
             return cache[key]
         s = self.cfg.scale
         m = 2 if s == 2 else (4 if s == 1 else 1)
+        # cascade arm: reach outscale >= s^2 with a second restoration pass
+        # instead of a lanczos resize (only x4 arm that improves crop IQA —
+        # eval/assets/sr_x4cascade_report.json)
+        n_passes = 2 if (self.cascade and s > 1 and outscale >= s * s - 1e-6) else 1
+        s_eff = s ** n_passes
 
         @jax.jit
         def pipeline(variables, image):
@@ -267,7 +287,11 @@ class FaceEnhancer:
             out = tiled_sr(net, img, s, self.tile, self.tile_pad,
                            self.max_tiles_per_batch)
             out = out[: h * s, : w * s]
-            if abs(outscale - s) > 1e-6:
+            if n_passes == 2:
+                out = tiled_sr(net, out, s, self.tile, self.tile_pad,
+                               self.max_tiles_per_batch)
+                out = out[: h * s_eff, : w * s_eff]
+            if abs(outscale - s_eff) > 1e-6:
                 th, tw = int(round(h * outscale)), int(round(w * outscale))
                 out = jax.image.resize(out, (th, tw, 3), method="lanczos3")
                 out = jnp.clip(out, 0.0, 1.0)
@@ -324,7 +348,10 @@ class FaceEnhancer:
         from facedet_tpu.ops.crop_resize import crop_and_resize
 
         crops = crop_and_resize(image, detections.boxes, crop_size, margin)
-        return self._net(crops)
+        out = self._net(crops)
+        if self.cascade:  # cascade arm: crops at scale^2 via a second pass
+            out = self._net(out)
+        return out
 
     def _load_bucketed(self, input_path: str):
         """File -> (device float image reflect-padded to the size bucket,
@@ -488,7 +515,9 @@ class FaceEnhancer:
         n_params = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(self.variables))
         return {
             "model_name": self.model_name,
-            "scale": self.cfg.scale,
+            "scale": self.cfg.scale ** (2 if self.cascade else 1),
+            "net_scale": self.cfg.scale,
+            "cascade": self.cascade,
             "outscale": self.outscale,
             "num_block": self.cfg.num_block,
             "num_feat": self.cfg.num_feat,
@@ -501,10 +530,18 @@ class FaceEnhancer:
 
 def get_available_models() -> dict[str, dict]:
     """Reference utils/enhancer.py:454."""
-    return {
+    out = {
         name: {"scale": cfg.scale, "num_block": cfg.num_block}
         for name, cfg in MODEL_CATALOG.items()
     }
+    for alias, base in _CASCADE_ALIASES.items():
+        cfg = MODEL_CATALOG[base]
+        out[alias] = {
+            "scale": cfg.scale * cfg.scale,
+            "num_block": cfg.num_block,
+            "cascade": True,
+        }
+    return out
 
 
 def enhance_face_crops_batch(

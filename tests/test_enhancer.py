@@ -256,3 +256,41 @@ def test_tiled_sr_multi_tile_exact():
     np.testing.assert_allclose(
         np.asarray(tiled)[8:-8, 8:-8], np.asarray(full)[8:-8, 8:-8], atol=1e-5
     )
+
+
+def test_cascade_arm_matches_two_single_passes():
+    """The x4cascade arm (x2 net applied twice inside one jitted pipeline,
+    eval/assets/sr_x4cascade_report.json) must equal two explicit x2 passes
+    and carry outscale/resize semantics like any other arm."""
+    cfg = RRDBConfig(num_feat=8, num_block=1, num_grow_ch=4, scale=2)
+    single = FaceEnhancer(cfg=cfg, outscale=2, tile=0, half=False)
+    casc = FaceEnhancer(cfg=cfg, outscale=4, tile=0, half=False, cascade=True)
+    casc.variables = single.variables  # same random init
+    img = (np.random.default_rng(3).uniform(0, 255, (12, 16, 3))).astype(np.uint8)
+    once, _ = single.enhance_image(img)
+    twice, _ = single.enhance_image(once)
+    got, _ = casc.enhance_image(img)
+    assert got.shape == (48, 64, 3)
+    # uint8 round-trip between the two single passes costs <= 1 lsb + net
+    # amplification; the fused cascade skips it, so allow a small tolerance
+    assert np.mean(np.abs(got.astype(int) - twice.astype(int))) < 3.0
+    # outscale above s^2 resolves by resize AFTER the cascade
+    out3, _ = casc.enhance_image(img, outscale=6)
+    assert out3.shape == (72, 96, 3)
+    info = casc.get_model_info()
+    assert info["scale"] == 4 and info["net_scale"] == 2 and info["cascade"]
+
+
+def test_cascade_alias_resolves_golden_x2():
+    """RealESRGAN_x4cascade = catalog sugar: x2plus config + golden x2
+    weights + cascade=True."""
+    import os
+
+    from facedet_tpu.engine.enhancer import _golden_ckpt_path
+
+    ckpt = _golden_ckpt_path("RealESRGAN_x4cascade")
+    assert ckpt is not None and os.path.basename(ckpt) == "rrdb_x2_golden.npz"
+    enh = FaceEnhancer(model_name="RealESRGAN_x4cascade", tile=0, half=False)
+    assert enh.cascade and enh.cfg.scale == 2 and enh.cfg.num_block == 23
+    cat = get_available_models()
+    assert cat["RealESRGAN_x4cascade"]["scale"] == 4
