@@ -378,7 +378,10 @@ def _sr_accounting(image_hw=(512, 768), n_timed: int = 3):
         "sr_flops_per_image": flops,
         "sr_scale": 4, "sr_tile": 400, "sr_tile_pad": 10,
         "sr_input_hw": list(image_hw), "sr_weights": weights,
-        "sr_fetch": "dct420s",
+        # wide = int16 sparse AC values: GAN-sharpened output overflows the
+        # int8 wire and used to silently hit the pixel-fetch fallback every
+        # image (probe_sr_e2e, BENCH.md round-5 SR serving study)
+        "sr_fetch": "dct420s-wide",
     }
 
 

@@ -104,6 +104,20 @@ def _load_native():
                 ctypes.c_int,
             ]
             lib.jpeg_write_dct420.restype = ctypes.c_int
+            lib.jpeg_write_dct420_wide.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_short),
+                ctypes.POINTER(ctypes.c_short),
+                ctypes.POINTER(ctypes.c_short),
+                ctypes.POINTER(ctypes.c_short),
+                ctypes.POINTER(ctypes.c_ushort),
+                ctypes.POINTER(ctypes.c_ushort),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.jpeg_write_dct420_wide.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _failed = True
@@ -289,18 +303,25 @@ def save_dct420_jpeg(path: str, img) -> bool:
     # compilations); the file's block dims are fixed by (h, w), so slice
     yb_h = -(-h // 16) * 2
     yb_w = -(-w // 16) * 2
+    # wide (int16) AC wire when the planes carry it — the fetch path for
+    # high-contrast SR outputs whose quantized AC exceeds int8 (the device
+    # encoder clips at JPEG baseline's 1023 Huffman ceiling instead)
+    wide = img.y_ac.dtype == np.int16
+    ac_dtype = np.int16 if wide else np.int8
+    ac_ptr = ctypes.c_short if wide else ctypes.c_byte
+    writer = lib.jpeg_write_dct420_wide if wide else lib.jpeg_write_dct420
     y_dc = np.ascontiguousarray(img.y_dc[:yb_h, :yb_w], np.int16)
-    y_ac = np.ascontiguousarray(img.y_ac[:yb_h, :yb_w], np.int8)
+    y_ac = np.ascontiguousarray(img.y_ac[:yb_h, :yb_w], ac_dtype)
     uv_dc = np.ascontiguousarray(img.uv_dc[: yb_h // 2, : yb_w // 2], np.int16)
-    uv_ac = np.ascontiguousarray(img.uv_ac[: yb_h // 2, : yb_w // 2], np.int8)
+    uv_ac = np.ascontiguousarray(img.uv_ac[: yb_h // 2, : yb_w // 2], ac_dtype)
     qy = np.ascontiguousarray(np.rint(img.qy), np.uint16)
     qc = np.ascontiguousarray(np.rint(img.qc), np.uint16)
-    rc = lib.jpeg_write_dct420(
+    rc = writer(
         path.encode(),
         y_dc.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
-        y_ac.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
+        y_ac.ctypes.data_as(ctypes.POINTER(ac_ptr)),
         uv_dc.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
-        uv_ac.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
+        uv_ac.ctypes.data_as(ctypes.POINTER(ac_ptr)),
         qy.ctypes.data_as(ctypes.POINTER(ctypes.c_ushort)),
         qc.ctypes.data_as(ctypes.POINTER(ctypes.c_ushort)),
         yb_h,

@@ -426,7 +426,13 @@ class FaceEnhancer:
             out = jnp.pad(
                 out, ((0, ph - th), (0, pw - tw), (0, 0)), mode="edge"
             )
-            planes = encode_dct420_device(out, jnp.asarray(qy), jnp.asarray(qc))
+            # wide (int16) AC wire: sharpened SR output routinely exceeds
+            # the int8 range in a few hundred blocks, which silently forced
+            # every serving image through the pixel-fetch fallback
+            # (probe_sr_e2e; BENCH.md round-5 SR serving study)
+            planes = encode_dct420_device(
+                out, jnp.asarray(qy), jnp.asarray(qc), wide_ac=True
+            )
             if not sparse:
                 return planes
             from facedet_tpu.ops.jpeg_dct import pack_sparse_bitmap_device

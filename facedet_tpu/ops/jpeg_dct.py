@@ -216,7 +216,7 @@ def decode_dct420_np(img: DctImage) -> tuple[np.ndarray, np.ndarray]:
     return y, np.stack([u, v], axis=-1)
 
 
-def encode_dct420_device(rgb, qy, qc):
+def encode_dct420_device(rgb, qy, qc, wide_ac: bool = False):
     """Device-side forward transform — the mirror of
     :func:`decode_dct420_to_yuv_f32`, for FETCHING large images (e.g. x4
     Real-ESRGAN outputs, 16x the input pixels) as quantized coefficients
@@ -234,7 +234,15 @@ def encode_dct420_device(rgb, qy, qc):
     blocks were truncated, mirroring the read path's -6 refusal — callers
     should fall back to a pixel fetch (engine/enhancer.py::enhance_to_jpeg
     does). The host entropy-codes the planes into a real .jpg with no
-    further transform (native jpeg_write_coefficients)."""
+    further transform (native jpeg_write_coefficients).
+
+    ``wide_ac=True`` emits int16 AC planes clipped at JPEG baseline
+    Huffman's 1023 magnitude ceiling instead: sharpened SR outputs (the GAN
+    arm especially) routinely overflow int8 in a few hundred blocks, which
+    forced EVERY serving image through the 2x-cost pixel-fetch fallback
+    (measured: probe_sr_e2e, BENCH.md round-5 SR serving study). The wide
+    wire doubles nominal AC bytes but they stay ~87% zeros, and the sparse
+    pack ships values-only at the true density."""
     from facedet_tpu.ops.color import _FWD
 
     x = rgb * 255.0
@@ -246,6 +254,8 @@ def encode_dct420_device(rgb, qy, qc):
 
     c = jnp.asarray(_C)
 
+    ac_limit, ac_dtype = (1023.0, jnp.int16) if wide_ac else (127.0, jnp.int8)
+
     def plane(p, q):
         hb, wb = p.shape[0] // 8, p.shape[1] // 8
         blocks = p.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3) - 128.0
@@ -253,9 +263,9 @@ def encode_dct420_device(rgb, qy, qc):
         cq = jnp.round(coef.reshape(hb, wb, 64) / q)
         dc = jnp.clip(cq[..., 0], -(1 << 15), (1 << 15) - 1).astype(jnp.int16)
         clipped = jnp.sum(
-            (jnp.abs(cq.at[..., 0].set(0.0)) > 127.0).astype(jnp.int32)
+            (jnp.abs(cq.at[..., 0].set(0.0)) > ac_limit).astype(jnp.int32)
         )
-        ac = jnp.clip(cq, -127, 127).astype(jnp.int8)
+        ac = jnp.clip(cq, -ac_limit, ac_limit).astype(ac_dtype)
         ac = ac.at[..., 0].set(0)
         return dc, jnp.moveaxis(ac, -1, 0), clipped  # wire layout
 
@@ -597,24 +607,26 @@ def pack_sparse_ac_batch(
 
 def pack_sparse_bitmap_device(flat, cap: int):
     """Device pack for the FETCH direction (sparse download of
-    device-encoded SR coefficients): flat int8 [n] (n % 8 == 0) ->
-    (bitmap uint8 [n/8] big-endian bits, vals int8 [cap], nnz int32).
-    ``cap`` is static; when nnz > cap the overflow values are dropped into
-    a dump slot — callers MUST check the returned nnz and fall back to a
-    dense fetch rather than use truncated values."""
+    device-encoded SR coefficients): flat int [n] (n % 8 == 0) ->
+    (bitmap uint8 [n/8] big-endian bits, vals [cap] of flat's dtype,
+    nnz int32). ``cap`` is static; when nnz > cap the overflow values are
+    dropped into a dump slot — callers MUST check the returned nnz and fall
+    back to a dense fetch rather than use truncated values."""
     mask = flat != 0
     ranks = jnp.cumsum(mask.astype(jnp.int32)) - 1
     nnz = jnp.where(mask.shape[0] > 0, ranks[-1] + 1, 0)
     pos = jnp.where(mask & (ranks < cap), ranks, cap)  # cap = dump slot
-    vals = jnp.zeros(cap + 1, jnp.int8).at[pos].set(flat, mode="drop")[:cap]
+    vals = jnp.zeros(cap + 1, flat.dtype).at[pos].set(flat, mode="drop")[:cap]
     weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
     bitmap = (mask.reshape(-1, 8).astype(jnp.int32) * weights).sum(axis=1)
     return bitmap.astype(jnp.uint8), vals, nnz
 
 
 def unpack_sparse_bitmap_np(bitmap, vals, n: int) -> np.ndarray:
-    """Host inverse of the sparse-bitmap fetch wire -> flat int8 [n]."""
+    """Host inverse of the sparse-bitmap fetch wire -> flat [n] of vals'
+    dtype (int8 compact wire or int16 wide wire)."""
+    vals = np.asarray(vals)
     bits = np.unpackbits(np.asarray(bitmap, np.uint8))[:n].astype(bool)
-    flat = np.zeros(n, np.int8)
-    flat[bits] = np.asarray(vals)[: int(bits.sum())]
+    flat = np.zeros(n, vals.dtype)
+    flat[bits] = vals[: int(bits.sum())]
     return flat

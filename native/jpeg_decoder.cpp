@@ -323,18 +323,24 @@ int jpeg_read_dct420_mem(const unsigned char* buf, long len, short* y_dc,
   return rc;
 }
 
+}  // extern "C" (template below; C wrappers re-exported after)
+
 // Entropy-code DctImage-layout quantized coefficients into a real baseline
 // JPEG file — libjpeg's jpeg_write_coefficients transcoding path, the mirror
 // of jpeg_read_dct420. The source planes come from the TPU (device-side FDCT
 // after super-resolution, ops/jpeg_dct.py::encode_dct420_device): the host
 // never runs a DCT in either direction; it only entropy-codes. yb_h/yb_w are
 // the MCU-padded luma block dims (= ceil(dim/16)*2); height/width the true
-// pixel size written to the header. Returns 0 on success.
-int jpeg_write_dct420(const char* path, const short* y_dc,
-                      const signed char* y_ac, const short* uv_dc,
-                      const signed char* uv_ac, const unsigned short* qy,
-                      const unsigned short* qc, int yb_h, int yb_w,
-                      int height, int width) {
+// pixel size written to the header. Returns 0 on success. Templated over the
+// AC element type: int8 is the compact wire, int16 the "wide" wire for
+// high-contrast SR outputs whose quantized AC exceeds int8 (JPEG baseline
+// Huffman covers AC magnitudes to 1023, so the device encoder clips there).
+template <typename AC>
+static int write_dct420_impl(const char* path, const short* y_dc,
+                             const AC* y_ac, const short* uv_dc,
+                             const AC* uv_ac, const unsigned short* qy,
+                             const unsigned short* qc, int yb_h, int yb_w,
+                             int height, int width) {
   FILE* f = std::fopen(path, "wb");
   if (!f) return -1;
   jpeg_compress_struct cinfo;
@@ -393,12 +399,12 @@ int jpeg_write_dct420(const char* path, const short* y_dc,
         JCOEF* blk = buf[0][col];
         if (ci == 0) {
           blk[0] = y_dc[row * yb_w + col];
-          const signed char* ac = y_ac + (static_cast<long>(row) * yb_w + col) * 64;
+          const AC* ac = y_ac + (static_cast<long>(row) * yb_w + col) * 64;
           for (int k = 1; k < 64; ++k) blk[k] = ac[k];
         } else {
           const long base = (static_cast<long>(row) * cb_w + col) * 2 + (ci - 1);
           blk[0] = uv_dc[base];
-          const signed char* ac = uv_ac + base * 64;
+          const AC* ac = uv_ac + base * 64;
           for (int k = 1; k < 64; ++k) blk[k] = ac[k];
         }
       }
@@ -408,6 +414,26 @@ int jpeg_write_dct420(const char* path, const short* y_dc,
   jpeg_destroy_compress(&cinfo);
   std::fclose(f);
   return 0;
+}
+
+extern "C" {
+
+int jpeg_write_dct420(const char* path, const short* y_dc,
+                      const signed char* y_ac, const short* uv_dc,
+                      const signed char* uv_ac, const unsigned short* qy,
+                      const unsigned short* qc, int yb_h, int yb_w,
+                      int height, int width) {
+  return write_dct420_impl<signed char>(path, y_dc, y_ac, uv_dc, uv_ac, qy,
+                                        qc, yb_h, yb_w, height, width);
+}
+
+int jpeg_write_dct420_wide(const char* path, const short* y_dc,
+                           const short* y_ac, const short* uv_dc,
+                           const short* uv_ac, const unsigned short* qy,
+                           const unsigned short* qc, int yb_h, int yb_w,
+                           int height, int width) {
+  return write_dct420_impl<short>(path, y_dc, y_ac, uv_dc, uv_ac, qy, qc,
+                                  yb_h, yb_w, height, width);
 }
 
 }  // extern "C"

@@ -453,3 +453,76 @@ def test_batched_stream_sparse_parity():
     for (ba, va), (bb, vb) in zip(outs["dct420"], outs["dct420s"]):
         np.testing.assert_array_equal(va, vb)
         np.testing.assert_allclose(ba * va[..., None], bb * vb[..., None], atol=1e-3)
+
+
+def test_wide_ac_wire_roundtrip(tmp_path):
+    """The int16 ("wide") AC fetch wire: extreme-contrast content that
+    overflows the int8 wire encodes clean at wide_ac=True (clipped only at
+    JPEG baseline's 1023 ceiling), survives the sparse bitmap pack at int16,
+    and entropy-codes through the native wide writer into a real JPEG whose
+    decoded pixels match the source. This is the serving fix for GAN-
+    sharpened SR outputs that previously forced the pixel-fetch fallback
+    (probe_sr_e2e)."""
+    import jax
+    import jax.numpy as jnp
+
+    from facedet_tpu.data.native_loader import save_dct420_jpeg
+    from facedet_tpu.ops.jpeg_dct import (
+        encode_dct420_device,
+        pack_sparse_bitmap_device,
+        unpack_sparse_bitmap_np,
+        wire_planes_to_dct_image,
+    )
+
+    # high-amplitude low-frequency content at quality 95: the low-freq quant
+    # steps are ~2, so a full-swing sinusoid's AC coefficient is ~128*4/2 >>
+    # 127 — exactly the sharpened-SR-output regime that clips the int8 wire
+    img = natural_image(96, 112, seed=7).astype(np.float64)
+    yy = np.arange(96)[:, None, None]
+    img = img * 0.2 + (128.0 + 120.0 * np.cos(np.pi * (2 * yy + 1) / 16)) * 0.8
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    qy, qc = quality_tables(95)
+    x = jnp.asarray(img, jnp.float32) / 255.0
+
+    *_, n_clipped_narrow = jax.jit(
+        lambda v: encode_dct420_device(v, jnp.asarray(qy), jnp.asarray(qc))
+    )(x)
+    assert int(n_clipped_narrow) > 0  # int8 wire overflows on this content
+
+    *planes, n_clipped = jax.jit(
+        lambda v: encode_dct420_device(
+            v, jnp.asarray(qy), jnp.asarray(qc), wide_ac=True
+        )
+    )(x)
+    assert int(n_clipped) == 0
+    y_dc, y_ac, uv_dc, uv_ac = planes
+    assert y_ac.dtype == jnp.int16 and uv_ac.dtype == jnp.int16
+    assert int(jnp.max(jnp.abs(y_ac))) > 127  # genuinely uses the width
+
+    # sparse bitmap pack keeps the wide dtype end-to-end
+    flat = jnp.concatenate([y_ac.reshape(-1), uv_ac.reshape(-1)])
+    cap = (int(jnp.sum(flat != 0)) + 15) & ~7
+    bitmap, vals, nnz = jax.jit(
+        lambda f: pack_sparse_bitmap_device(f, cap)
+    )(flat)
+    assert vals.dtype == jnp.int16 and int(nnz) <= cap
+    rec = unpack_sparse_bitmap_np(
+        np.asarray(bitmap), np.asarray(vals), int(flat.shape[0])
+    )
+    assert rec.dtype == np.int16
+    np.testing.assert_array_equal(rec, np.asarray(flat))
+
+    # native wide writer -> real decodable JPEG with matching pixels
+    d = wire_planes_to_dct_image(planes, qy, qc, (96, 112))
+    assert d.y_ac.dtype == np.int16
+    path = str(tmp_path / "wide.jpg")
+    if not save_dct420_jpeg(path, d):
+        pytest.skip("native jpeg writer unavailable")
+    from PIL import Image
+
+    dec = np.asarray(Image.open(path).convert("RGB"), np.int32)
+    assert dec.shape == (96, 112, 3)
+    # luma must survive: q95 + 4:2:0 chroma, compare against source luma
+    luma = lambda a: a @ np.array([0.299, 0.587, 0.114])
+    err = np.abs(luma(dec) - luma(img.astype(np.int32)))
+    assert err.mean() < 6.0 and np.median(err) < 4.0
